@@ -1,0 +1,201 @@
+"""Model configuration system.
+
+Mirrors the reference semantics of per-model ``ModelArgs`` dataclasses built
+from a *union merge* of JSON config files (reference: accessory/model/meta.py:33-45
+— each ``--llama_config`` JSON is read in order into one dict, last key wins,
+then the per-family dataclass is constructed from the union).
+
+Every model family registers its args class here; the model registry
+(``accessory_tpu.models``) maps ``llama_type`` strings to (args_cls, module).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+
+def union_merge_configs(paths_or_dicts: Sequence[Union[str, Dict[str, Any]]]) -> Dict[str, Any]:
+    """Union-merge JSON config files / dicts, last key wins.
+
+    Reference behavior: accessory/model/meta.py:33-45.
+    """
+    merged: Dict[str, Any] = {}
+    for item in paths_or_dicts:
+        if isinstance(item, str):
+            with open(item) as f:
+                item = json.load(f)
+        if not isinstance(item, dict):
+            raise TypeError(f"config item must be a dict or JSON path, got {type(item)}")
+        merged.update(item)
+    return merged
+
+
+def make_args(args_cls, config: Sequence[Union[str, Dict[str, Any]]] = (), **overrides):
+    """Build an args dataclass from a union-merged config plus kw overrides.
+
+    Unknown keys are ignored with the same tolerance the reference shows when
+    passing a superset config dict into a dataclass via ``**`` — except we skip
+    them instead of raising, so one JSON can parameterize several families.
+    """
+    merged = union_merge_configs(config)
+    merged.update(overrides)
+    fields = {f.name for f in dataclasses.fields(args_cls)}
+    known = {k: v for k, v in merged.items() if k in fields}
+    return args_cls(**known)
+
+
+@dataclass
+class LLaMAArgs:
+    """LLaMA / LLaMA2 / CodeLLaMA family args.
+
+    Field names and defaults match the reference
+    accessory/model/LLM/llama.py:28-43 so reference config JSONs load
+    unchanged.
+    """
+
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: Optional[int] = None
+    vocab_size: int = -1  # set by tokenizer
+    multiple_of: int = 256
+    ffn_dim_multiplier: Optional[float] = None
+    norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+
+    rope_scaling: Optional[float] = None
+
+    # --- TPU-build extensions (absent in reference JSONs → defaults) ---
+    dtype: str = "bfloat16"  # parameter / activation dtype
+    rope_style: str = "interleaved"  # "interleaved" (meta llama) | "half" (neox/hf)
+    tie_embeddings: bool = False
+    # PEFT (reference: llama_peft.py:48-50)
+    lora_rank: int = -1
+    bias_tuning: bool = False
+    norm_tuning: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+    @property
+    def ffn_hidden_dim(self) -> int:
+        """SwiGLU hidden size with 2/3 shrink + multiple_of round-up.
+
+        Reference: accessory/model/LLM/llama.py FeedForward.__init__
+        (hidden = int(2*4*dim/3), optional multiplier, round up to multiple_of).
+        """
+        hidden = int(2 * (4 * self.dim) / 3)
+        if self.ffn_dim_multiplier is not None:
+            hidden = int(self.ffn_dim_multiplier * hidden)
+        return self.multiple_of * ((hidden + self.multiple_of - 1) // self.multiple_of)
+
+
+@dataclass
+class InternLMArgs:
+    """InternLM family (HF-style names). Reference: accessory/model/LLM/internlm.py:45-63."""
+
+    num_layers: int = 32
+    hidden_size: int = 4096
+    num_attention_heads: int = 32
+    mlp_ratio: float = 8 / 3
+    layer_norm_epsilon: float = 1e-5
+    norm_type: str = "rmsnorm"  # "rmsnorm" | "layernorm"
+    norm_eps: float = 1e-5
+    use_swiglu: bool = True
+    vocab_size: int = -1
+    multiple_of: int = 256
+    rope_theta: float = 10000.0
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+    rope_scaling: Optional[float] = None
+    dtype: str = "bfloat16"
+    bias: bool = True  # internlm attention projections carry bias
+
+
+@dataclass
+class FalconArgs:
+    """Falcon / Falcon-180B family. Reference: accessory/model/LLM/falcon.py:24-44."""
+
+    num_layers: int = 80
+    hidden_size: int = 14848
+    num_attention_heads: int = 232
+    bias: bool = False
+    multi_query: bool = True
+    new_decoder_architecture: bool = True
+    parallel_attn: bool = True
+    num_kv_heads: Optional[int] = None
+    layer_norm_epsilon: float = 1e-5
+    vocab_size: int = -1
+    rope_theta: float = 10000.0
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+    rope_scaling: Optional[float] = None
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        if self.new_decoder_architecture:
+            return self.num_kv_heads if self.num_kv_heads is not None else self.num_attention_heads
+        return 1 if self.multi_query else self.num_attention_heads
+
+
+@dataclass
+class MixtralArgs:
+    """Mixtral-8x7B MoE family. Reference: accessory/model/LLM/mixtral.py and
+    mixtral_sparse.py:46-75 (moe dict: num_experts, num_experts_per_tok)."""
+
+    dim: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: Optional[int] = 8
+    vocab_size: int = -1
+    hidden_dim: int = 14336
+    norm_eps: float = 1e-5
+    rope_theta: float = 1000000.0
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+    rope_scaling: Optional[float] = None
+
+    num_experts: int = 8
+    num_experts_per_tok: int = 2
+    load_balancing_weight: float = 0.01
+
+    dtype: str = "bfloat16"
+    rope_style: str = "interleaved"
+    # expert layout: "ep" (whole experts sharded over the ep axis, reference
+    # mixtral.py) | "sparse" (every device holds 1/tp of each expert's hidden
+    # dim, reference mixtral_sparse.py)
+    expert_layout: str = "ep"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+
+ARGS_REGISTRY: Dict[str, Any] = {
+    "llama": LLaMAArgs,
+    "llama_peft": LLaMAArgs,
+    "internlm": InternLMArgs,
+    "falcon": FalconArgs,
+    "mixtral": MixtralArgs,
+    "mixtral_sparse": MixtralArgs,
+}

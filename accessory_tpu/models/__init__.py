@@ -1,0 +1,29 @@
+"""Model registry: ``llama_type`` string → module implementing the family.
+
+Mirrors the reference's importlib-by-name registry
+(accessory/model/meta.py:29-31; names in accessory/model/LLM/__init__.py).
+Each module exposes: ``init_params``, ``param_axes``, ``init_kv_cache``,
+``cache_axes``, ``forward`` and uses the matching args class from
+accessory_tpu.config.ARGS_REGISTRY.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_FAMILY_BY_TYPE = {
+    # llama family and its PEFT/multimodal variants share one implementation;
+    # variant behavior is config- and adapter-driven, not copy-pasted modules.
+    "llama": "llama",
+    "llama_peft": "llama",
+    "internlm": "internlm",
+    "falcon": "falcon",
+    "mixtral": "mixtral",
+    "mixtral_peft": "mixtral",
+    "mixtral_sparse": "mixtral",
+}
+
+
+def get_model_module(llama_type: str):
+    family = _FAMILY_BY_TYPE.get(llama_type, llama_type)
+    return importlib.import_module(f"accessory_tpu.models.{family}")

@@ -1,0 +1,89 @@
+"""Attention — XLA reference implementation.
+
+Covers the three shapes the reference hits (accessory/model/LLM/llama.py
+Attention.forward):
+  * training / prefill: q_len == kv_len, causal
+  * incremental decode: q_len == 1 (or a chunk) attending to a KV cache prefix
+  * GQA (n_kv_heads < n_heads, llama.py repeat_kv)
+
+TPU-first differences from the reference:
+  * GQA is computed *grouped* — q is reshaped to (kv_head, group) so the KV is
+    never materialized repeated (the reference expands via repeat_kv).
+  * masking is positional (q_offset + kv_len) rather than a materialized
+    (L, L) additive mask, so the same code serves prefill and decode and XLA
+    can fuse the comparison into the softmax.
+  * softmax in fp32 regardless of activation dtype (numerics parity).
+
+The Pallas flash-attention kernel (ops/flash_attention.py) replaces this for
+long-sequence prefill; this is the always-correct fallback and the numerical
+reference for kernel tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    q_offset=0,
+    kv_len: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention with grouped GQA and positional masking.
+
+    Args:
+      q: (batch, q_len, n_heads, head_dim)
+      k, v: (batch, kv_len_max, n_kv_heads, head_dim)
+      causal: apply causal masking (query position >= key position).
+      q_offset: absolute position of q[0] within the KV timeline (scalar or
+        (batch,) array). During decode this is the current cache length.
+      kv_len: optional (batch,) number of valid KV entries (for padded caches).
+      scale: defaults to head_dim ** -0.5.
+
+    Returns (batch, q_len, n_heads, head_dim) in q.dtype.
+    """
+    b, sq, nq, hd = q.shape
+    _, skv, nkv, _ = k.shape
+    assert nq % nkv == 0, (nq, nkv)
+    n_rep = nq // nkv
+    if scale is None:
+        scale = hd ** -0.5
+
+    qg = q.reshape(b, sq, nkv, n_rep, hd)
+    # scores: (b, nkv, n_rep, sq, skv), accumulated in fp32 on the MXU
+    scores = jnp.einsum(
+        "bqkrh,bskh->bkrqs", qg, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    q_pos = jnp.asarray(q_offset)
+    if q_pos.ndim == 0:
+        q_pos = q_pos[None]  # (1,) broadcasts over batch
+    q_ids = q_pos[:, None] + jnp.arange(sq)[None, :]  # (b|1, sq)
+    kv_ids = jnp.arange(skv)[None, :]  # (1, skv)
+
+    mask = jnp.ones((q_ids.shape[0], sq, skv), dtype=bool)
+    if causal:
+        mask = mask & (kv_ids[:, None, :] <= q_ids[:, :, None])
+    if kv_len is not None:
+        kv_len = jnp.asarray(kv_len)
+        if kv_len.ndim == 0:
+            kv_len = kv_len[None]
+        mask = mask & (kv_ids[:, None, :] < kv_len[:, None, None])
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bkrqs,bskh->bqkrh", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, sq, nq, hd).astype(q.dtype)

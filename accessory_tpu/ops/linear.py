@@ -1,0 +1,29 @@
+"""Linear application with pluggable weight representations.
+
+A weight is either a plain jnp array of shape (in_dim, out_dim) or a
+``QuantizedWeight`` (group-wise W4A16/W3A16, see accessory_tpu.quant). Model
+code calls ``linear`` and never branches on representation — this is the TPU
+equivalent of the reference's bitsandbytes layer swap
+(accessory/util/quant.py:95-164), done by *value type* instead of module
+monkey-patching.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x: (..., in_dim) @ w: (in_dim, out_dim) [+ b]."""
+    # Imported lazily to avoid a cycle (quant depends on ops for tests).
+    from accessory_tpu.quant.qtensor import QuantizedWeight, quant_matmul
+
+    if isinstance(w, QuantizedWeight):
+        y = quant_matmul(x, w)
+    else:
+        y = jnp.dot(x, w)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

@@ -1,0 +1,156 @@
+"""Packed quantized weight representation + pack/unpack/matmul.
+
+Format (OmniQuant-compatible weight-only quantization):
+  * bits ∈ {4, 3}; quantized value q ∈ [0, 2^bits - 1]
+  * group-wise along the *reduction* (in) dimension, group_size g
+  * dequant: w[i, o] = (q[i, o] - zeros[i // g, o]) * scales[i // g, o]
+  * storage: q packed little-endian into uint32 along the in dimension
+    (8 nibbles / 10 three-bit fields per word), scales/zeros in fp32.
+
+This mirrors what the reference gets from bitsandbytes Linear4bit NF4
+(accessory/util/quant.py:116-144) but with a uniform-grid asymmetric format so
+OmniQuant checkpoint scales/zeros import directly.
+
+``quant_matmul`` dispatches to the fused Pallas kernel on TPU and to the XLA
+dequant+dot reference elsewhere (and inside kernel unit tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedWeight:
+    """Group-wise quantized (in_dim, out_dim) weight.
+
+    packed:  (ceil(in_dim / per_word), out_dim) uint32
+    scales:  (in_dim // group_size, out_dim) fp32
+    zeros:   (in_dim // group_size, out_dim) fp32  (in quantized units)
+    """
+
+    packed: jnp.ndarray
+    scales: jnp.ndarray
+    zeros: jnp.ndarray
+    bits: int
+    group_size: int
+    in_dim: int
+    out_dim: int
+    act_dtype: jnp.dtype = jnp.bfloat16
+
+    def tree_flatten(self):
+        return (self.packed, self.scales, self.zeros), (
+            self.bits, self.group_size, self.in_dim, self.out_dim, self.act_dtype,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def shape(self):
+        return (self.in_dim, self.out_dim)
+
+    @property
+    def dtype(self):
+        return self.act_dtype
+
+    @property
+    def per_word(self) -> int:
+        return 32 // self.bits  # 8 for w4, 10 for w3 (2 bits wasted)
+
+
+def _per_word(bits: int) -> int:
+    return 32 // bits
+
+
+def pack_int(q: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Pack (in_dim, out_dim) small ints into uint32 words along axis 0."""
+    in_dim = q.shape[0]
+    pw = _per_word(bits)
+    pad = (-in_dim) % pw
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+    q = q.astype(jnp.uint32).reshape(-1, pw, q.shape[1])
+    shifts = (jnp.arange(pw, dtype=jnp.uint32) * bits)[None, :, None]
+    return jnp.sum(q << shifts, axis=1, dtype=jnp.uint32)
+
+
+def unpack_int(packed: jnp.ndarray, bits: int, in_dim: int) -> jnp.ndarray:
+    """Inverse of pack_int → (in_dim, out_dim) int32 in [0, 2^bits)."""
+    pw = _per_word(bits)
+    mask = jnp.uint32((1 << bits) - 1)
+    shifts = (jnp.arange(pw, dtype=jnp.uint32) * bits)[None, :, None]
+    vals = (packed[:, None, :] >> shifts) & mask  # (words, pw, out)
+    vals = vals.reshape(-1, packed.shape[1])
+    return vals[:in_dim].astype(jnp.int32)
+
+
+def quantize_weight(
+    w: jnp.ndarray,
+    bits: int = 4,
+    group_size: int = 128,
+    act_dtype=jnp.bfloat16,
+) -> QuantizedWeight:
+    """Asymmetric min/max group quantization of an (in_dim, out_dim) weight.
+
+    (OmniQuant checkpoints instead provide learned scales/zeros; see
+    checkpoint/omniquant_import — this function is the RTN fallback.)
+    """
+    in_dim, out_dim = w.shape
+    assert in_dim % group_size == 0, (in_dim, group_size)
+    wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out_dim)
+    qmax = float(2 ** bits - 1)
+    wmin = jnp.min(wf, axis=1)
+    wmax = jnp.max(wf, axis=1)
+    scales = jnp.maximum((wmax - wmin) / qmax, 1e-10)
+    zeros = jnp.round(-wmin / scales)
+    q = jnp.clip(jnp.round(wf / scales[:, None, :]) + zeros[:, None, :], 0, qmax)
+    q = q.reshape(in_dim, out_dim).astype(jnp.int32)
+    return QuantizedWeight(
+        packed=pack_int(q, bits),
+        scales=scales,
+        zeros=zeros,
+        bits=bits,
+        group_size=group_size,
+        in_dim=in_dim,
+        out_dim=out_dim,
+        act_dtype=jnp.dtype(act_dtype),
+    )
+
+
+def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
+    """XLA reference dequant → (in_dim, out_dim) dense weight."""
+    dtype = dtype or qw.act_dtype
+    q = unpack_int(qw.packed, qw.bits, qw.in_dim).astype(jnp.float32)
+    g = qw.group_size
+    q = q.reshape(qw.in_dim // g, g, qw.out_dim)
+    w = (q - qw.zeros[:, None, :]) * qw.scales[:, None, :]
+    return w.reshape(qw.in_dim, qw.out_dim).astype(dtype)
+
+
+def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """x @ dequant(qw). Dispatches to the fused Pallas kernel on TPU.
+
+    The XLA path dequantizes per-call; XLA fuses unpack+scale into the matmul
+    prologue reasonably well, but the Pallas kernel keeps packed words in VMEM
+    and hits HBM at the 4-bit footprint (the point of W4A16 decode).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        try:
+            from accessory_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
+
+            return quant_matmul_pallas(x, qw)
+        except Exception:
+            pass  # fall back to XLA reference below
+    w = dequantize_weight(qw)
+    return jnp.dot(x.astype(qw.act_dtype), w)

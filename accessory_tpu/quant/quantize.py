@@ -1,0 +1,77 @@
+"""Whole-model quantization: swap dense weights in a params pytree for
+QuantizedWeight, honoring a per-model blocklist.
+
+Reference behavior being reproduced (accessory/util/quant.py:95-164 +
+MetaModel.get_quant_blocklist, model get_quant_blocklist overrides like
+llama_ens.py:523-532): quantize every linear weight except (a) anything on
+the model's blocklist (visual encoders), (b) LoRA adapter weights, (c)
+embeddings / norms / output head (the reference only swaps Linear layers;
+we additionally keep the output head dense by default for logit fidelity —
+pass ``quantize_output=True`` to include it).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from accessory_tpu.quant.qtensor import QuantizedWeight, quantize_weight
+
+# path substrings never quantized
+DEFAULT_BLOCKLIST = (
+    "tok_embeddings",
+    "norm",          # attention_norm / ffn_norm / final norm
+    "lora",          # PEFT adapters stay high precision (quant.py:102-105)
+    "bias",
+    "gate",          # MoE router: tiny and accuracy-critical (fp32 softmax)
+    "visual",        # SPHINX visual encoders (llama_ens.py:523-532)
+    "rope",
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path
+    )
+
+
+def quantize_params(
+    params,
+    bits: int = 4,
+    group_size: int = 128,
+    blocklist: Sequence[str] = DEFAULT_BLOCKLIST,
+    quantize_output: bool = False,
+    predicate: Callable[[str, jnp.ndarray], bool] | None = None,
+):
+    """Return a params pytree with eligible 2-D weights quantized.
+
+    Eligible: ndim == 2 (or stacked-layer ndim == 3, quantized per layer along
+    axis 0), floating dtype, in_dim divisible by group_size, path not in
+    blocklist.
+    """
+    block = tuple(blocklist) + (() if quantize_output else ("output",))
+
+    def visit(path, leaf):
+        if not isinstance(leaf, jnp.ndarray) and not hasattr(leaf, "dtype"):
+            return leaf
+        name = _path_str(path)
+        if any(b in name for b in block):
+            return leaf
+        if predicate is not None and not predicate(name, leaf):
+            return leaf
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+        if leaf.ndim == 2 and leaf.shape[0] % group_size == 0:
+            return quantize_weight(leaf, bits=bits, group_size=group_size,
+                                   act_dtype=leaf.dtype)
+        if leaf.ndim == 3 and leaf.shape[1] % group_size == 0:
+            # stacked layers (L, in, out): quantize each layer, stack pytrees
+            qws = [quantize_weight(leaf[i], bits=bits, group_size=group_size,
+                                   act_dtype=leaf.dtype)
+                   for i in range(leaf.shape[0])]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *qws)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)

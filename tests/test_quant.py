@@ -1,0 +1,62 @@
+"""Quantization format tests: pack/unpack roundtrip, dequant error bounds,
+matmul consistency, blocklist behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accessory_tpu.quant.qtensor import (
+    pack_int, unpack_int, quantize_weight, dequantize_weight, quant_matmul,
+)
+from accessory_tpu.quant.quantize import quantize_params, DEFAULT_BLOCKLIST
+from accessory_tpu.quant import QuantizedWeight
+
+
+@pytest.mark.parametrize("bits", [4, 3])
+def test_pack_unpack_roundtrip(bits):
+    rs = np.random.RandomState(0)
+    q = rs.randint(0, 2 ** bits, size=(130, 8)).astype(np.int32)
+    packed = pack_int(jnp.asarray(q), bits)
+    got = unpack_int(packed, bits, 130)
+    np.testing.assert_array_equal(np.asarray(got), q)
+
+
+@pytest.mark.parametrize("bits,tol", [(4, 0.04), (3, 0.08)])
+def test_quantize_dequantize_error(bits, tol):
+    rs = np.random.RandomState(1)
+    w = rs.randn(256, 64).astype(np.float32) * 0.02
+    qw = quantize_weight(jnp.asarray(w), bits=bits, group_size=64, act_dtype=jnp.float32)
+    wd = np.asarray(dequantize_weight(qw, jnp.float32))
+    # max error bounded by half a quantization step per group
+    step = (w.reshape(4, 64, 64).max(1) - w.reshape(4, 64, 64).min(1)) / (2 ** bits - 1)
+    err = np.abs(wd - w).reshape(4, 64, 64).max(1)
+    assert (err <= step * 0.51 + 1e-6).all()
+    assert np.abs(wd - w).mean() < tol * 0.02 * 10
+
+
+def test_quant_matmul_matches_dequant_dot():
+    rs = np.random.RandomState(2)
+    w = rs.randn(256, 128).astype(np.float32) * 0.05
+    x = rs.randn(3, 256).astype(np.float32)
+    qw = quantize_weight(jnp.asarray(w), bits=4, group_size=128, act_dtype=jnp.float32)
+    got = quant_matmul(jnp.asarray(x), qw, use_pallas=False)
+    want = x @ np.asarray(dequantize_weight(qw, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_quantize_params_respects_blocklist():
+    params = {
+        "tok_embeddings": {"weight": jnp.ones((128, 64))},
+        "layers": {"attention": {"wq": {"weight": jnp.ones((2, 128, 64))}}},
+        "norm": {"weight": jnp.ones((64,))},
+        "output": {"weight": jnp.ones((128, 64))},
+    }
+    qp = quantize_params(params, bits=4, group_size=64)
+    assert isinstance(qp["tok_embeddings"]["weight"], jnp.ndarray)
+    assert isinstance(qp["norm"]["weight"], jnp.ndarray)
+    assert isinstance(qp["output"]["weight"], jnp.ndarray)  # default: kept dense
+    assert isinstance(qp["layers"]["attention"]["wq"]["weight"], QuantizedWeight)
+    # stacked-layer quant: leading layer axis preserved on packed data
+    qw = qp["layers"]["attention"]["wq"]["weight"]
+    assert qw.packed.shape[0] == 2
