@@ -1,0 +1,211 @@
+"""InternLM — pure-functional JAX implementation.
+
+Behavioral reference: accessory/model/LLM/internlm.py (ModelArgs :45-63,
+fused-QKV MHA with bias :66-95, "half"-pair RoPE :30-41, FeedForward
+:172-200 where w1=gate, w2=up, w3=down, hidden = round_up(hidden_size *
+mlp_ratio, multiple_of), rmsnorm/layernorm switch :211-216).
+
+Parameters keep the reference naming (Wqkv fused, out_proj, w1/w2/w3 in the
+internlm sense) so HF/reference checkpoints map 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from accessory_tpu.config import InternLMArgs
+from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.linear import linear
+from accessory_tpu.ops.norms import layer_norm, rms_norm
+from accessory_tpu.ops.rope import apply_rope, precompute_rope
+
+Params = Dict[str, Any]
+
+
+def _hidden_dim(args: InternLMArgs) -> int:
+    h = int(args.hidden_size * args.mlp_ratio)
+    return args.multiple_of * ((h + args.multiple_of - 1) // args.multiple_of)
+
+
+def _norm(x, w, args: InternLMArgs, bias=None):
+    if args.norm_type == "rmsnorm":
+        return rms_norm(x, w, args.layer_norm_epsilon)
+    return layer_norm(x, w, bias, args.layer_norm_epsilon)
+
+
+def init_params(key: jax.Array, args: InternLMArgs) -> Params:
+    dtype = jnp.dtype(args.dtype)
+    d = args.hidden_size
+    L = args.num_layers
+    H = _hidden_dim(args)
+
+    def dense(k, shape, scale=None):
+        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+        scale = scale or fan_in ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    ks = jax.random.split(key, 10)
+    params: Params = {
+        "word_embeddings": {"weight": dense(ks[0], (args.vocab_size, d), 0.02)},
+        "layers": {
+            "norm1": {"weight": jnp.ones((L, d), dtype)},
+            "norm2": {"weight": jnp.ones((L, d), dtype)},
+            "mixer": {
+                "Wqkv": {"weight": dense(ks[1], (L, d, 3 * d)),
+                         "bias": jnp.zeros((L, 3 * d), dtype)},
+                "out_proj": {"weight": dense(ks[2], (L, d, d)),
+                             "bias": jnp.zeros((L, d), dtype)},
+            },
+            "mlp": {
+                "w1": {"weight": dense(ks[3], (L, d, H))},
+                "w2": {"weight": dense(ks[4], (L, d, H))},
+                "w3": {"weight": dense(ks[5], (L, H, d))},
+            },
+        },
+        "norm": {"weight": jnp.ones((d,), dtype)},
+        "output": {"weight": dense(ks[6], (d, args.vocab_size))},
+    }
+    if args.norm_type == "layernorm":
+        params["layers"]["norm1"]["bias"] = jnp.zeros((L, d), dtype)
+        params["layers"]["norm2"]["bias"] = jnp.zeros((L, d), dtype)
+        params["norm"]["bias"] = jnp.zeros((d,), dtype)
+    return params
+
+
+def param_axes(args: InternLMArgs) -> Params:
+    A = lambda *names: tuple(names)  # noqa: E731
+    axes: Params = {
+        "word_embeddings": {"weight": A("vocab", "embed")},
+        "layers": {
+            "norm1": {"weight": A("layers", None)},
+            "norm2": {"weight": A("layers", None)},
+            "mixer": {
+                "Wqkv": {"weight": A("layers", "embed", "heads"),
+                         "bias": A("layers", "heads")},
+                "out_proj": {"weight": A("layers", "heads", "embed"),
+                             "bias": A("layers", None)},
+            },
+            "mlp": {
+                "w1": {"weight": A("layers", "embed", "ffn")},
+                "w2": {"weight": A("layers", "embed", "ffn")},
+                "w3": {"weight": A("layers", "ffn", "embed")},
+            },
+        },
+        "norm": {"weight": A(None)},
+        "output": {"weight": A("embed", "vocab")},
+    }
+    if args.norm_type == "layernorm":
+        axes["layers"]["norm1"]["bias"] = A("layers", None)
+        axes["layers"]["norm2"]["bias"] = A("layers", None)
+        axes["norm"]["bias"] = A(None)
+    return axes
+
+
+def init_kv_cache(args: InternLMArgs, batch: int, max_len: Optional[int] = None,
+                  dtype=None) -> Dict[str, jnp.ndarray]:
+    max_len = max_len or args.max_seq_len
+    dtype = dtype or jnp.dtype(args.dtype)
+    nh = args.num_attention_heads
+    hd = args.hidden_size // nh
+    shape = (args.num_layers, batch, max_len, nh, hd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cache_axes() -> Dict[str, Tuple]:
+    return {"k": ("layers", "batch", None, "heads", None),
+            "v": ("layers", "batch", None, "heads", None)}
+
+
+def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
+           cache_k=None, cache_v=None):
+    b, sq, _ = h.shape
+    d = args.hidden_size
+    nh = args.num_attention_heads
+    hd = d // nh
+    mx = layer["mixer"]
+
+    x = _norm(h, layer["norm1"]["weight"], args, layer["norm1"].get("bias"))
+    qkv = linear(x, mx["Wqkv"]["weight"], mx["Wqkv"]["bias"])
+    qkv = qkv.reshape(b, sq, 3, nh, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    # internlm uses the (x_j, x_{j+d/2}) pairing (internlm.py:30-41)
+    q = apply_rope(q, cos, sin, "half")
+    k = apply_rope(k, cos, sin, "half")
+
+    if cache_k is not None:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, q_offset, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, q_offset, 0, 0))
+        out = attention(q, cache_k, cache_v, causal=True,
+                        q_offset=q_offset, kv_len=kv_len)
+    else:
+        out = attention(q, k, v, causal=True, q_offset=0)
+
+    h = h + linear(out.reshape(b, sq, d), mx["out_proj"]["weight"],
+                   mx["out_proj"]["bias"])
+
+    x = _norm(h, layer["norm2"]["weight"], args, layer["norm2"].get("bias"))
+    mlp = layer["mlp"]
+    if args.use_swiglu:
+        inner = jax.nn.silu(linear(x, mlp["w1"]["weight"])) * linear(x, mlp["w2"]["weight"])
+    else:
+        inner = jax.nn.gelu(linear(x, mlp["w1"]["weight"]))
+    h = h + linear(inner, mlp["w3"]["weight"])
+    return h, cache_k, cache_v
+
+
+def forward(
+    params: Params,
+    args: InternLMArgs,
+    tokens: jnp.ndarray,
+    *,
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cur_pos=0,
+    remat: bool = False,
+    embeds: Optional[jnp.ndarray] = None,
+):
+    b, sq = tokens.shape
+    h = embeds if embeds is not None else (
+        jnp.take(params["word_embeddings"]["weight"], tokens, axis=0))
+    hd = args.hidden_size // args.num_attention_heads
+
+    max_rope = (cache["k"].shape[2] if cache is not None else sq)
+    cos_full, sin_full = precompute_rope(hd, max_rope, args.rope_theta, args.rope_scaling)
+    if cache is not None:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, cur_pos, sq, 0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, cur_pos, sq, 0)
+        kv_len = cur_pos + sq
+    else:
+        cos, sin = cos_full[:sq], sin_full[:sq]
+        kv_len = None
+
+    block = _block
+    if remat:
+        block = jax.checkpoint(
+            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            static_argnums=(2,))
+
+    if cache is not None:
+        def body(h, xs):
+            layer, ck, cv = xs
+            h, ck, cv = block(h, layer, args, cos, sin, cur_pos, kv_len, ck, cv)
+            return h, (ck, cv)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": new_k, "v": new_v}
+    else:
+        def body(h, layer):
+            h, _, _ = block(h, layer, args, cos, sin, 0, None)
+            return h, None
+
+        h, _ = jax.lax.scan(body, h, params["layers"])
+        new_cache = None
+
+    h = _norm(h, params["norm"]["weight"], args, params["norm"].get("bias"))
+    logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    return logits, new_cache

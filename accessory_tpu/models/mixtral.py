@@ -1,0 +1,221 @@
+"""Mixtral-8x7B sparse MoE — pure-functional JAX implementation.
+
+Behavioral reference: accessory/model/LLM/mixtral.py (whole-expert EP layout,
+MoE :220-295) and mixtral_sparse.py (expert-sharded TP layout via megablocks,
+:238-488; fp32 gate softmax :417-421; load-balancing loss :282-297). One
+implementation serves both reference variants: the *layout* difference
+(whole experts per device vs. 1/tp of each expert's hidden dim per device)
+is purely a sharding-rule choice here — ``param_axes`` marks the expert
+weights with ("experts", ...) and ("expert_ffn") logical axes, and the rule
+table maps them to the ``ep`` or ``tp`` mesh axis.
+
+Attention is LLaMA-style GQA (n_kv_heads=8) with rope_theta=1e6
+(mixtral_sparse.py:57); reuses the llama block machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from accessory_tpu.config import MixtralArgs
+from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.linear import linear
+from accessory_tpu.ops.moe import moe_ffn
+from accessory_tpu.ops.norms import rms_norm
+from accessory_tpu.ops.rope import apply_rope, precompute_rope
+
+Params = Dict[str, Any]
+
+
+def init_params(key: jax.Array, args: MixtralArgs) -> Params:
+    dtype = jnp.dtype(args.dtype)
+    hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
+    L, E, H = args.n_layers, args.num_experts, args.hidden_dim
+
+    def dense(k, shape, scale=None):
+        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+        scale = scale or fan_in ** -0.5
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    ks = jax.random.split(key, 12)
+    return {
+        "tok_embeddings": {"weight": dense(ks[0], (args.vocab_size, args.dim), 0.02)},
+        "layers": {
+            "attention_norm": {"weight": jnp.ones((L, args.dim), dtype)},
+            "ffn_norm": {"weight": jnp.ones((L, args.dim), dtype)},
+            "attention": {
+                "wq": {"weight": dense(ks[1], (L, args.dim, nq * hd))},
+                "wk": {"weight": dense(ks[2], (L, args.dim, nkv * hd))},
+                "wv": {"weight": dense(ks[3], (L, args.dim, nkv * hd))},
+                "wo": {"weight": dense(ks[4], (L, nq * hd, args.dim))},
+            },
+            "feed_forward": {
+                # router gate kept fp32 (softmax numerics, quant-blocklisted)
+                "gate": {"weight": dense(ks[5], (L, args.dim, E)).astype(jnp.float32)},
+                "w1": {"weight": dense(ks[6], (L, E, args.dim, H))},
+                "w2": {"weight": dense(ks[7], (L, E, H, args.dim))},
+                "w3": {"weight": dense(ks[8], (L, E, args.dim, H))},
+            },
+        },
+        "norm": {"weight": jnp.ones((args.dim,), dtype)},
+        "output": {"weight": dense(ks[9], (args.dim, args.vocab_size))},
+    }
+
+
+def param_axes(args: MixtralArgs) -> Params:
+    """Logical sharding axes. expert_layout "ep": experts axis → ep mesh axis
+    (whole experts per shard, reference mixtral.py:230-240); "sparse": expert
+    hidden dim → tp (every shard holds 1/tp of each expert,
+    mixtral_sparse.py:238-263)."""
+    A = lambda *names: tuple(names)  # noqa: E731
+    if args.expert_layout == "ep":
+        e_ax, h_ax = "experts", None
+    else:  # "sparse"
+        e_ax, h_ax = None, "expert_ffn"
+    return {
+        "tok_embeddings": {"weight": A("vocab", "embed")},
+        "layers": {
+            "attention_norm": {"weight": A("layers", None)},
+            "ffn_norm": {"weight": A("layers", None)},
+            "attention": {
+                "wq": {"weight": A("layers", "embed", "heads")},
+                "wk": {"weight": A("layers", "embed", "heads")},
+                "wv": {"weight": A("layers", "embed", "heads")},
+                "wo": {"weight": A("layers", "heads", "embed")},
+            },
+            "feed_forward": {
+                "gate": {"weight": A("layers", None, None)},
+                "w1": {"weight": A("layers", e_ax, "embed", h_ax)},
+                "w2": {"weight": A("layers", e_ax, h_ax, "embed")},
+                "w3": {"weight": A("layers", e_ax, "embed", h_ax)},
+            },
+        },
+        "norm": {"weight": A(None)},
+        "output": {"weight": A("embed", "vocab")},
+    }
+
+
+def init_kv_cache(args: MixtralArgs, batch: int, max_len: Optional[int] = None,
+                  dtype=None) -> Dict[str, jnp.ndarray]:
+    max_len = max_len or args.max_seq_len
+    dtype = dtype or jnp.dtype(args.dtype)
+    shape = (args.n_layers, batch, max_len, args.kv_heads, args.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def cache_axes() -> Dict[str, Tuple]:
+    return {"k": ("layers", "batch", None, "heads", None),
+            "v": ("layers", "batch", None, "heads", None)}
+
+
+def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
+           cache_k=None, cache_v=None, moe_impl="ragged", balance=False):
+    b, sq, _ = h.shape
+    hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
+    att = layer["attention"]
+
+    x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
+    q = linear(x, att["wq"]["weight"]).reshape(b, sq, nq, hd)
+    k = linear(x, att["wk"]["weight"]).reshape(b, sq, nkv, hd)
+    v = linear(x, att["wv"]["weight"]).reshape(b, sq, nkv, hd)
+    q = apply_rope(q, cos, sin, args.rope_style)
+    k = apply_rope(k, cos, sin, args.rope_style)
+
+    if cache_k is not None:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, q_offset, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, q_offset, 0, 0))
+        out = attention(q, cache_k, cache_v, causal=True,
+                        q_offset=q_offset, kv_len=kv_len)
+    else:
+        out = attention(q, k, v, causal=True, q_offset=0)
+
+    h = h + linear(out.reshape(b, sq, nq * hd), att["wo"]["weight"])
+
+    x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
+    ff = layer["feed_forward"]
+    y, aux = moe_ffn(
+        x.reshape(b * sq, args.dim),
+        ff["gate"]["weight"], ff["w1"]["weight"], ff["w3"]["weight"],
+        ff["w2"]["weight"], k=args.num_experts_per_tok,
+        balance_weight=args.load_balancing_weight if balance else None,
+        impl=moe_impl,
+    )
+    h = h + y.reshape(b, sq, args.dim)
+    return h, cache_k, cache_v, aux
+
+
+def forward(
+    params: Params,
+    args: MixtralArgs,
+    tokens: jnp.ndarray,
+    *,
+    cache: Optional[Dict[str, jnp.ndarray]] = None,
+    cur_pos=0,
+    remat: bool = False,
+    embeds: Optional[jnp.ndarray] = None,
+    moe_impl: str = "ragged",
+    with_aux_loss: bool = False,
+):
+    """Unified forward, same contract as models.llama.forward.
+
+    Training with ``with_aux_loss=True`` additionally returns the summed MoE
+    load-balancing loss (reference drains MoE.LOAD_BALANCING_LOSSES in
+    Transformer.forward, mixtral_sparse.py:607-631) as third output.
+    """
+    b, sq = tokens.shape
+    h = embeds if embeds is not None else (
+        jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
+
+    max_rope = (cache["k"].shape[2] if cache is not None else sq)
+    cos_full, sin_full = precompute_rope(
+        args.head_dim, max_rope, args.rope_theta, args.rope_scaling)
+    if cache is not None:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, cur_pos, sq, 0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, cur_pos, sq, 0)
+        kv_len = cur_pos + sq
+    else:
+        cos, sin = cos_full[:sq], sin_full[:sq]
+        kv_len = None
+
+    block = _block
+    if remat:
+        block = jax.checkpoint(
+            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            static_argnums=(2, 9, 10))
+
+    balance = with_aux_loss and cache is None
+
+    if cache is not None:
+        def body(h, xs):
+            layer, ck, cv = xs
+            h, ck, cv, _ = block(h, layer, args, cos, sin, cur_pos, kv_len,
+                                 ck, cv, moe_impl, False)
+            return h, (ck, cv)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], cache["k"], cache["v"]))
+        new_cache = {"k": new_k, "v": new_v}
+        aux_total = None
+    else:
+        def body(carry, layer):
+            h, aux_acc = carry
+            h, _, _, aux = block(h, layer, args, cos, sin, 0, None,
+                                 None, None, moe_impl, balance)
+            if aux is not None:
+                aux_acc = aux_acc + aux
+            return (h, aux_acc), None
+
+        (h, aux_total), _ = jax.lax.scan(
+            body, (h, jnp.zeros((), jnp.float32)), params["layers"])
+        new_cache = None
+
+    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
+    logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    if with_aux_loss:
+        return logits, new_cache, aux_total
+    return logits, new_cache
