@@ -1,0 +1,324 @@
+"""Batched generation engine: jitted prefill + on-device decode loop.
+
+Behavioral reference: accessory/model/meta.py
+  * ``generate``          :371-467 — left-aligned prompt packing, prompt-mask
+    overwrite, greedy/top-p, multi-token stop-symbol suffix matching
+  * ``stream_generate``   :469-548 — token-by-token generator
+  * ``compute_logits``    :257-296 / ``evaluate_examples`` :298-369 — scoring
+
+TPU-first differences:
+  * the reference drives every decode step from Python; here prefill is one
+    jit and the whole decode loop is one jitted ``lax.while_loop`` (early
+    exit when all rows stopped), so a generate call is two device programs.
+  * shapes are bucketed (prompt-prefix and total length rounded up to
+    multiples of 64) so repeated calls hit the jit cache.
+  * stop sequences are baked into the compiled loop as static token tuples —
+    the suffix compare (meta.py:452-458) happens on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from accessory_tpu.ops.sampling import sample_top_p
+
+_BUCKET = 64
+
+
+def _round_up(x: int, m: int = _BUCKET) -> int:
+    return max(m, (x + m - 1) // m * m)
+
+
+def _sample(logits, key, temperature: float, top_p: float):
+    if temperature > 0:
+        probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+        return sample_top_p(probs, top_p, key)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+class Generator:
+    """Wraps a functional model (module with ``forward``/``init_kv_cache``)
+    + tokenizer into the reference's generation API surface."""
+
+    def __init__(self, module, args, params, tokenizer, encode_image=None):
+        self.module = module
+        self.args = args
+        self.params = params
+        self.tokenizer = tokenizer
+        self.encode_image = encode_image  # optional multimodal hook
+        self._loop_cache = {}
+
+    # ------------------------------------------------------------------
+    # compiled loop (one per (bsz, prefill_len, total_len, sampling, stops))
+    # ------------------------------------------------------------------
+
+    def _compiled_loop(self, bsz, prefill_len, total_len, temperature, top_p,
+                       stop_seqs: Tuple[Tuple[int, ...], ...], n_image_words: int):
+        key_ = (bsz, prefill_len, total_len, temperature, top_p, stop_seqs,
+                n_image_words)
+        if key_ in self._loop_cache:
+            return self._loop_cache[key_]
+
+        module, args = self.module, self.args
+
+        def run(params, tokens, mask, start_pos, end, rng, embeds=None):
+            """tokens/mask: (bsz, total_len buffer); start_pos: scalar min
+            prompt len; end: scalar logical stop position (prompt+max_gen).
+            Returns (tokens, stopped, stop_pos)."""
+            cache = module.init_kv_cache(args, bsz, max_len=total_len + n_image_words)
+
+            prefix = tokens[:, :prefill_len]
+            if embeds is not None:
+                logits_pre, cache = module.forward(
+                    params, args, prefix, cache=cache, cur_pos=0, embeds=embeds)
+            else:
+                logits_pre, cache = module.forward(
+                    params, args, prefix, cache=cache, cur_pos=0)
+            # logits for position start_pos come from token start_pos-1;
+            # with a multimodal prefix the token stream is offset by the
+            # image words (reference cache_image_words, llama.py:402-417)
+            last_idx = (start_pos - 1 + n_image_words).astype(jnp.int32)
+            last = jnp.take_along_axis(
+                logits_pre, last_idx[None, None, None]
+                * jnp.ones((bsz, 1, 1), jnp.int32), axis=1)[:, 0]
+
+            stopped0 = jnp.zeros((bsz,), bool)
+            stop_pos0 = jnp.full((bsz,), start_pos + 1, jnp.int32)
+
+            def cond(c):
+                tokens, cache, last, cur, stopped, stop_pos, rng = c
+                return (cur < end) & ~jnp.all(stopped)
+
+            def body(c):
+                tokens, cache, last, cur, stopped, stop_pos, rng = c
+                rng, sub = jax.random.split(rng)
+                nxt = _sample(last, sub, temperature, top_p)
+                cur_mask = jnp.take_along_axis(mask, cur[None] * jnp.ones((bsz, 1), jnp.int32), axis=1)[:, 0]
+                cur_tok = jnp.take_along_axis(tokens, cur[None] * jnp.ones((bsz, 1), jnp.int32), axis=1)[:, 0]
+                nxt = jnp.where(cur_mask, cur_tok, nxt)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, nxt[:, None], (0, cur))
+
+                # stop matching (reference meta.py:452-458)
+                stop_pos = jnp.where(stopped, stop_pos, cur + 1)
+                for seq in stop_seqs:
+                    L = len(seq)
+                    window = jax.lax.dynamic_slice(
+                        tokens, (0, cur + 1 - L), (bsz, L))
+                    hit = jnp.all(window == jnp.asarray(seq, tokens.dtype)[None, :], axis=-1)
+                    hit = hit & ~cur_mask & ~stopped & (cur + 1 - L >= 0)
+                    stop_pos = jnp.where(hit, cur + 1 - L, stop_pos)
+                    stopped = stopped | hit
+
+                step_tok = jax.lax.dynamic_slice(tokens, (0, cur), (bsz, 1))
+                logits, cache = module.forward(
+                    params, args, step_tok, cache=cache,
+                    cur_pos=cur + n_image_words)
+                return (tokens, cache, logits[:, 0], cur + 1, stopped, stop_pos, rng)
+
+            init = (tokens, cache, last, start_pos, stopped0, stop_pos0, rng)
+            tokens, _, _, _, stopped, stop_pos, _ = jax.lax.while_loop(cond, body, init)
+            return tokens, stopped, stop_pos
+
+        compiled = jax.jit(run)
+        self._loop_cache[key_] = compiled
+        return compiled
+
+    # ------------------------------------------------------------------
+    # public API (reference meta.py:371-467)
+    # ------------------------------------------------------------------
+
+    def _stop_token_seqs(self, additional_stop_symbols: Iterable[str]):
+        seqs = [(self.tokenizer.eos_id,)]
+        for s in additional_stop_symbols:
+            seqs.append(tuple(self.tokenizer.encode_segment(s)))
+            seqs.append(tuple(self.tokenizer.encode_wo_prefix_space(s)))
+        # dedupe, keep order
+        seen, out = set(), []
+        for s in seqs:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return tuple(out)
+
+    def generate(
+        self,
+        prompts: List[str],
+        images=None,
+        max_gen_len: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        additional_stop_symbols: Iterable[str] = (),
+        seed: int = 0,
+    ) -> List[str]:
+        if isinstance(prompts, str):
+            raise ValueError("generate expects a batched LIST of prompts")
+        bsz = len(prompts)
+        args = self.args
+
+        prompt_tokens = [self.tokenizer.encode(x, bos=True, eos=False) for x in prompts]
+
+        n_image_words = 0
+        embeds = None
+        if images is not None:
+            assert self.encode_image is not None, "model has no visual branch"
+            embeds, n_image_words = self.encode_image(self.params, images)
+
+        max_seq_len = args.max_seq_len - n_image_words
+        prompt_tokens = [t[-(max_seq_len - max_gen_len):] for t in prompt_tokens]
+        min_prompt = min(len(t) for t in prompt_tokens)
+        max_prompt = max(len(t) for t in prompt_tokens)
+        total_len = min(max_seq_len, max_gen_len + max_prompt)
+        total_bucket = min(_round_up(total_len), max_seq_len)
+        # ensure loop end == logical total_len but buffer is bucketed
+        buf_len = max(total_bucket, total_len)
+
+        tokens = np.zeros((bsz, buf_len), np.int32)
+        mask = np.zeros((bsz, buf_len), bool)
+        for i, t in enumerate(prompt_tokens):
+            tokens[i, : len(t)] = t
+            mask[i, : len(t)] = True
+
+        prefill_len = min(_round_up(min_prompt), buf_len)
+        stop_seqs = self._stop_token_seqs(additional_stop_symbols)
+
+        run = self._compiled_loop(bsz, prefill_len, buf_len, float(temperature),
+                                  float(top_p), stop_seqs, n_image_words)
+        if embeds is not None:
+            tok_emb = jnp.take(
+                _embedding_table(self.params), jnp.asarray(tokens[:, :prefill_len]), axis=0)
+            emb = jnp.concatenate([embeds, tok_emb], axis=1)
+            out_tokens, stopped, stop_pos = run(
+                self.params, jnp.asarray(tokens), jnp.asarray(mask),
+                jnp.int32(min_prompt), jnp.int32(total_len),
+                jax.random.PRNGKey(seed), emb)
+        else:
+            out_tokens, stopped, stop_pos = run(
+                self.params, jnp.asarray(tokens), jnp.asarray(mask),
+                jnp.int32(min_prompt), jnp.int32(total_len),
+                jax.random.PRNGKey(seed))
+
+        out_tokens = np.asarray(out_tokens)
+        stop_pos = np.asarray(stop_pos)
+        decoded = []
+        for i in range(bsz):
+            t = out_tokens[i, len(prompt_tokens[i]): stop_pos[i]].tolist()
+            decoded.append(self.tokenizer.decode(t))
+        return decoded
+
+    def stream_generate(
+        self,
+        prompt: str,
+        images=None,
+        max_gen_len: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        additional_stop_symbols: Iterable[str] = (),
+        seed: int = 0,
+    ):
+        """Single-prompt generator yielding {"text", "end_of_content"} dicts.
+
+        Reference: meta.py:469-548. Host-side loop over a jitted single-token
+        step (streaming inherently needs per-token host sync)."""
+        args = self.args
+        tokens_l = self.tokenizer.encode(prompt, bos=True, eos=False)
+        n_image_words = 0
+        embeds = None
+        if images is not None:
+            assert self.encode_image is not None
+            embeds, n_image_words = self.encode_image(self.params, images)
+        max_seq_len = args.max_seq_len - n_image_words
+        tokens_l = tokens_l[-(max_seq_len - max_gen_len):]
+        start = len(tokens_l)
+        total = min(max_seq_len, start + max_gen_len)
+
+        stop_strs = list(additional_stop_symbols)
+        prefill_len = _round_up(start)
+        buf_len = max(min(_round_up(total), max_seq_len), total)
+
+        tokens = np.zeros((1, buf_len), np.int32)
+        tokens[0, :start] = tokens_l
+
+        cache = self.module.init_kv_cache(self.args, 1, max_len=buf_len + n_image_words)
+
+        @functools.lru_cache(maxsize=None)
+        def step_fn(seq_len):
+            def f(params, tok, cache, pos):
+                return self.module.forward(params, args, tok, cache=cache, cur_pos=pos)
+            return jax.jit(f)
+
+        if embeds is not None:
+            tok_emb = jnp.take(_embedding_table(self.params),
+                               jnp.asarray(tokens[:, :prefill_len]), axis=0)
+            emb = jnp.concatenate([embeds, tok_emb], axis=1)
+            logits, cache = jax.jit(
+                lambda p, t, c: self.module.forward(
+                    p, args, t, cache=c, cur_pos=0, embeds=emb)
+            )(self.params, jnp.asarray(tokens[:, :prefill_len]), cache)
+        else:
+            logits, cache = step_fn(prefill_len)(
+                self.params, jnp.asarray(tokens[:, :prefill_len]), cache, 0)
+        last = logits[0, start - 1]
+
+        key = jax.random.PRNGKey(seed)
+        generated: List[int] = []
+        for cur in range(start, total):
+            key, sub = jax.random.split(key)
+            nxt = int(_sample(last[None], sub, float(temperature), float(top_p))[0])
+            if nxt == self.tokenizer.eos_id:
+                break
+            generated.append(nxt)
+            text = self.tokenizer.decode(generated)
+            hit = [s for s in stop_strs if s in text]
+            if hit:
+                pos = min(text.index(s) for s in hit)
+                yield {"text": text[:pos], "end_of_content": True}
+                return
+            yield {"text": text, "end_of_content": False}
+            tokens[0, cur] = nxt
+            logits, cache = step_fn(1)(
+                self.params, jnp.asarray(tokens[:, cur:cur + 1]), cache,
+                cur + n_image_words)
+            last = logits[0, 0]
+        yield {"text": self.tokenizer.decode(generated), "end_of_content": True}
+
+    # ------------------------------------------------------------------
+    # scoring APIs (reference meta.py:257-369)
+    # ------------------------------------------------------------------
+
+    def compute_logits(self, examples: jnp.ndarray, images=None) -> jnp.ndarray:
+        """Full-sequence fp32 logits (training-style forward, no cache)."""
+        out = self.module.forward(self.params, self.args, examples)
+        return out[0]
+
+    def evaluate_examples(self, contexts: List[str], continuations: List[str]):
+        """Per-example (loglikelihood, ppl) of continuation given context.
+
+        Reference: meta.py:298-369 (used by OpenCompass): tokenize
+        context+continuation, score continuation tokens only."""
+        results = []
+        for ctx, cont in zip(contexts, continuations):
+            ctx_t = self.tokenizer.encode(ctx, bos=True, eos=False)
+            full_t = self.tokenizer.encode(ctx + cont, bos=True, eos=False)
+            full = jnp.asarray([full_t], jnp.int32)
+            logits = self.compute_logits(full)
+            logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
+            tgt = jnp.asarray(full_t[1:])
+            tok_lp = jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+            cont_lp = tok_lp[len(ctx_t) - 1:]
+            ll = float(jnp.sum(cont_lp))
+            n = int(cont_lp.shape[0])
+            results.append({"loglikelihood": ll, "ppl": float(np.exp(-ll / max(n, 1)))})
+        return results
+
+
+def _embedding_table(params):
+    for key in ("tok_embeddings", "word_embeddings"):
+        if key in params:
+            return params[key]["weight"]
+    raise KeyError("no embedding table in params")

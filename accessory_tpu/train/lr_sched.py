@@ -1,0 +1,31 @@
+"""LR schedules: cosine with linear warmup, iter- and epoch-based.
+
+Reference: accessory/util/lr_sched.py:3-35 — warmup is linear from 0,
+cosine decays from lr to min_lr; per-group ``lr_scale`` multiplies the
+result (layer-wise lr decay, util/param_group.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def cosine_lr(it: float, lr: float, min_lr: float, warmup: float, total: float) -> float:
+    """Scalar schedule value at step ``it`` (float so epoch-fractions work)."""
+    if warmup > 0 and it < warmup:
+        return lr * it / warmup
+    if total <= warmup:
+        return lr
+    progress = (it - warmup) / (total - warmup)
+    progress = min(max(progress, 0.0), 1.0)
+    return min_lr + (lr - min_lr) * 0.5 * (1.0 + math.cos(math.pi * progress))
+
+
+def adjust_learning_rate(it: int, args) -> float:
+    """Iter-based (pretrain loop, engine_pretrain.py usage)."""
+    return cosine_lr(it, args.lr, args.min_lr, args.warmup_iters, args.lr_decay_iters)
+
+
+def adjust_learning_rate_epoch(epoch_frac: float, args) -> float:
+    """Epoch-based (finetune loop, engine_finetune.py:38)."""
+    return cosine_lr(epoch_frac, args.lr, args.min_lr, args.warmup_epochs, args.epochs)

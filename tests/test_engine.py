@@ -1,0 +1,121 @@
+"""Generation-engine tests: the jitted decode loop must reproduce a
+host-driven teacher-forced greedy rollout; stop symbols truncate; scoring
+APIs return sane values. Reference semantics: accessory/model/meta.py:371-467.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accessory_tpu.meta import MetaModel
+
+CORPUS = [
+    "Hi my darling how are you today",
+    "the quick brown fox jumps over the lazy dog",
+    "hello world this is a test of the engine",
+] * 30
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import decoders, models, pre_tokenizers, trainers
+
+    tk = HFTok(models.BPE(unk_token=None))
+    tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+    tk.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=300, special_tokens=["<s>", "</s>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tk.train_from_iterator(CORPUS, trainer)
+    path = tmp_path_factory.mktemp("tok") / "tokenizer.json"
+    tk.save(str(path))
+
+    return MetaModel(
+        "llama",
+        {"dim": 64, "n_layers": 2, "n_heads": 4, "n_kv_heads": 2,
+         "multiple_of": 32, "dtype": "float32"},
+        tokenizer_path=str(path), max_seq_len=192)
+
+
+def greedy_reference(model, prompt, n_steps):
+    """Host-side greedy rollout with the training forward (no cache)."""
+    toks = model.tokenizer.encode(prompt, bos=True, eos=False)
+    for _ in range(n_steps):
+        logits, _ = model.module.forward(
+            model.params, model.args, jnp.asarray([toks], jnp.int32))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        toks.append(nxt)
+        if nxt == model.tokenizer.eos_id:
+            break
+    return toks
+
+
+def _expected_text(model, prompt, total_len):
+    """Reference semantics: every row decodes until the shared total_len
+    (= max_prompt + max_gen_len), so shorter prompts generate more tokens
+    (meta.py:415-417, 434)."""
+    plen = len(model.tokenizer.encode(prompt, bos=True, eos=False))
+    ref = greedy_reference(model, prompt, total_len - plen)
+    gen = ref[plen:]
+    if model.tokenizer.eos_id in gen:
+        gen = gen[: gen.index(model.tokenizer.eos_id)]
+    return model.tokenizer.decode(gen)
+
+
+def test_generate_matches_teacher_forced_greedy(model):
+    prompts = ["the quick brown", "hello world"]
+    outs = model.generate(prompts, max_gen_len=8, temperature=0.0)
+    assert len(outs) == 2
+    max_prompt = max(len(model.tokenizer.encode(p, bos=True, eos=False))
+                     for p in prompts)
+    total_len = max_prompt + 8
+    for prompt, out in zip(prompts, outs):
+        assert out == _expected_text(model, prompt, total_len)
+
+
+def test_generate_deterministic(model):
+    a = model.generate(["hello world"], max_gen_len=6)
+    b = model.generate(["hello world"], max_gen_len=6)
+    assert a == b
+
+
+def test_generate_ragged_batch(model):
+    # different prompt lengths exercise the prompt-mask overwrite path
+    prompts = ["the quick brown fox jumps over", "hi"]
+    outs = model.generate(prompts, max_gen_len=6)
+    max_prompt = max(len(model.tokenizer.encode(p, bos=True, eos=False))
+                     for p in prompts)
+    total_len = max_prompt + 6
+    for out, p in zip(outs, prompts):
+        assert out == _expected_text(model, p, total_len)
+
+
+def test_stop_symbol_truncates(model):
+    base = model.generate(["the quick"], max_gen_len=12)[0]
+    if len(base.split()) >= 2:
+        stop = base.split()[0]
+        stopped = model.generate(["the quick"], max_gen_len=12,
+                                 additional_stop_symbols=(stop,))[0]
+        assert stop not in stopped or len(stopped) <= len(base)
+
+
+def test_stream_generate_matches_generate(model):
+    batch = model.generate(["hello world"], max_gen_len=6)[0]
+    chunks = list(model.stream_generate("hello world", max_gen_len=6))
+    assert chunks[-1]["end_of_content"] is True
+    assert chunks[-1]["text"] == batch
+
+
+def test_evaluate_examples(model):
+    res = model.evaluate_examples(
+        ["the quick brown"], [" fox jumps"])
+    assert len(res) == 1
+    assert res[0]["ppl"] > 0
+    assert res[0]["loglikelihood"] < 0
+
+
+def test_top_p_sampling_runs(model):
+    outs = model.generate(["hello"], max_gen_len=5, temperature=0.8, top_p=0.9)
+    assert isinstance(outs[0], str)

@@ -1,0 +1,138 @@
+"""Training-step tests: loss semantics, overfit sanity, grad accumulation
+equivalence, sharded (dp×fsdp×tp) step parity with single device, LR
+schedule shape. Reference behaviors: engine_finetune.py loop, misc.py loss
+scaler/no_sync, util/lr_sched.py, util/clip_grad.py."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from accessory_tpu.config import LLaMAArgs, MixtralArgs
+from accessory_tpu.models import llama, mixtral
+from accessory_tpu.train import (
+    TrainState,
+    cosine_lr,
+    cross_entropy_loss,
+    make_optimizer,
+    make_train_step,
+)
+from accessory_tpu.train.train_step import shard_train_state
+
+
+def tiny():
+    args = LLaMAArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=64,
+                     multiple_of=16, max_seq_len=16, dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    return args, params
+
+
+def batch(bsz=4, seq=8, vocab=64):
+    k = jax.random.PRNGKey(7)
+    ex = jax.random.randint(k, (bsz, seq), 1, vocab)
+    labels = jnp.concatenate([jnp.zeros((bsz, 2), jnp.int32), ex[:, 2:]], axis=1)
+    return {"examples": ex, "labels": labels}
+
+
+def test_cross_entropy_matches_torch_semantics():
+    import torch
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 10), jnp.float32)
+    labels = jnp.array([[0, 0, 3, 4, 5, 0], [1, 2, 0, 0, 6, 7]], jnp.int32)
+    ours, n = cross_entropy_loss(logits, labels, ignore_index=0)
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(np.asarray(logits)).reshape(-1, 10),
+        torch.tensor(np.asarray(labels)).reshape(-1).long(), ignore_index=0)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    assert int(n) == 7
+
+
+def test_train_step_decreases_loss():
+    args, params = tiny()
+    tx = make_optimizer(params, 1e-2, clip_norm=1.0)
+    step = jax.jit(make_train_step(llama, args, tx, remat=False))
+    state = TrainState.create(params, tx)
+    b = batch()
+    losses = []
+    for _ in range(12):
+        state, m = step(state, b)
+        losses.append(float(m["c_loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert int(state.step) == 12
+
+
+def test_grad_accum_equivalent():
+    args, params = tiny()
+    tx = make_optimizer(params, 1e-2)
+    b = batch(bsz=4)
+    s1 = TrainState.create(params, tx)
+    s2 = TrainState.create(params, tx)
+    step1 = jax.jit(make_train_step(llama, args, tx, remat=False, accum_steps=1))
+    step2 = jax.jit(make_train_step(llama, args, tx, remat=False, accum_steps=2))
+    s1, m1 = step1(s1, b)
+    s2, m2 = step2(s2, b)
+    # same data → same averaged gradients → same params
+    for a, c in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    from accessory_tpu.parallel import DEFAULT_RULES, make_mesh
+
+    args, params = tiny()
+    tx = make_optimizer(params, 1e-2, clip_norm=1.0)
+    step = make_train_step(llama, args, tx, remat=True)
+    b = batch(bsz=8)
+
+    ref_state = TrainState.create(params, tx)
+    ref_state, ref_m = jax.jit(step)(ref_state, b)
+
+    mesh = make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    state = TrainState.create(params, tx)
+    state = shard_train_state(state, llama.param_axes(args), mesh)
+    sharded_step = jax.jit(step)
+    state, m = sharded_step(state, b)
+
+    np.testing.assert_allclose(float(m["c_loss"]), float(ref_m["c_loss"]),
+                               rtol=1e-4)
+    # reduction-order differences across shards are amplified by Adam's
+    # rsqrt(v)+eps normalization — allow ~1% after one step
+    for a, c in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-2, atol=1e-5)
+
+
+def test_mixtral_train_step_with_aux():
+    args = MixtralArgs(dim=32, n_layers=1, n_heads=4, n_kv_heads=2, hidden_dim=48,
+                       vocab_size=64, num_experts=4, max_seq_len=16, dtype="float32")
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    tx = make_optimizer(params, 1e-2)
+    step = jax.jit(make_train_step(mixtral, args, tx, remat=False, moe_aux=True))
+    state = TrainState.create(params, tx)
+    state, m = step(state, batch())
+    assert float(m["aux_loss"]) > 0
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_cosine_lr_shape():
+    assert cosine_lr(0, 1.0, 0.0, 10, 100) == 0.0
+    assert cosine_lr(5, 1.0, 0.0, 10, 100) == 0.5
+    np.testing.assert_allclose(cosine_lr(10, 1.0, 0.0, 10, 100), 1.0)
+    np.testing.assert_allclose(cosine_lr(100, 1.0, 0.1, 10, 100), 0.1)
+    mid = cosine_lr(55, 1.0, 0.0, 10, 100)
+    np.testing.assert_allclose(mid, 0.5, atol=1e-6)
+
+
+def test_frozen_params_stay_frozen():
+    args, params = tiny()
+    tx = make_optimizer(params, 1e-2,
+                        trainable=lambda name: not name.startswith("output"))
+    step = jax.jit(make_train_step(llama, args, tx, remat=False))
+    state = TrainState.create(params, tx)
+    state, _ = step(state, batch())
+    np.testing.assert_array_equal(np.asarray(state.params["output"]["weight"]),
+                                  np.asarray(params["output"]["weight"]))
+    assert not np.array_equal(
+        np.asarray(state.params["layers"]["attention"]["wq"]["weight"]),
+        np.asarray(params["layers"]["attention"]["wq"]["weight"]))
