@@ -145,12 +145,18 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        try:
-            from accessory_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
+    # kernel constraints: W4 only (W3's 10-per-word packing doesn't tile),
+    # 128-lane-aligned out dim, group aligned to the packing word
+    eligible = (
+        qw.packed.ndim == 2
+        and qw.bits == 4
+        and qw.group_size % 8 == 0
+        and qw.in_dim % qw.group_size == 0
+        and qw.out_dim % 128 == 0
+    )
+    if use_pallas and eligible:
+        from accessory_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
 
-            return quant_matmul_pallas(x, qw)
-        except Exception:
-            pass  # fall back to XLA reference below
+        return quant_matmul_pallas(x, qw)
     w = dequantize_weight(qw)
     return jnp.dot(x.astype(qw.act_dtype), w)
