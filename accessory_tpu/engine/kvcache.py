@@ -1,0 +1,154 @@
+"""Paged KV cache: HBM page pool + per-sequence page tables.
+
+Replaces the reference's static per-layer (max_bsz, max_seq, n_kv, hd)
+cache tensors (accessory/model/LLM/llama.py:210-215, allocated for the worst
+case per sequence) with a shared page pool: sequences own pages on demand, so
+max_seq_len is no longer pre-paid per slot and long-context serving scales
+by pool size, not batch×max_len (SURVEY.md §5 long-context note).
+
+Layout (kernel-native, jax paged_attention expects kv as
+[n_kv_heads, total_pages, page_size, head_dim]):
+  k_pages/v_pages: (n_layers, n_kv, total_pages, page_size, hd)
+  page_indices:    (batch_slots, pages_per_seq) int32 — physical page per
+                   logical page of each sequence slot
+  lengths:         (batch_slots,) int32 — tokens currently in each slot
+
+Decode attention dispatches to the Pallas paged-attention kernel on TPU and
+to an XLA gather+masked-softmax reference elsewhere (also the numerics
+oracle in tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    k_pages: jnp.ndarray  # (L, n_kv, P, page_size, hd)
+    v_pages: jnp.ndarray
+    page_indices: jnp.ndarray  # (slots, pages_per_seq) i32
+    lengths: jnp.ndarray  # (slots,) i32
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.page_indices.shape[1]
+
+
+def init_paged_cache(
+    n_layers: int,
+    n_kv: int,
+    head_dim: int,
+    total_pages: int,
+    page_size: int,
+    slots: int,
+    pages_per_seq: int,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    """Fresh pool. Page table defaults to the identity allocation
+    slot*pages_per_seq + j (a host scheduler remaps as sequences churn)."""
+    assert slots * pages_per_seq <= total_pages
+    idx = (jnp.arange(slots)[:, None] * pages_per_seq
+           + jnp.arange(pages_per_seq)[None, :]).astype(jnp.int32)
+    shape = (n_layers, n_kv, total_pages, page_size, head_dim)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_indices=idx,
+        lengths=jnp.zeros((slots,), jnp.int32),
+    )
+
+
+def write_tokens(
+    k_pages: jnp.ndarray,  # (n_kv, P, ps, hd) — one layer
+    v_pages: jnp.ndarray,
+    k_new: jnp.ndarray,  # (b, s, n_kv, hd)
+    v_new: jnp.ndarray,
+    page_indices: jnp.ndarray,  # (b, pages_per_seq)
+    start_pos: jnp.ndarray,  # (b,) absolute position of k_new[:, 0]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter s new tokens per sequence into their pages."""
+    b, s, n_kv, hd = k_new.shape
+    ps = k_pages.shape[2]
+    pos = start_pos[:, None] + jnp.arange(s)[None, :]  # (b, s)
+    page = jnp.take_along_axis(page_indices, pos // ps, axis=1)  # (b, s)
+    slot = pos % ps
+    # scatter: k_pages[h, page[b,s], slot[b,s], :] = k_new[b, s, h, :]
+    kn = k_new.transpose(2, 0, 1, 3).reshape(n_kv, b * s, hd)
+    vn = v_new.transpose(2, 0, 1, 3).reshape(n_kv, b * s, hd)
+    pf, sf = page.reshape(-1), slot.reshape(-1)
+    k_pages = k_pages.at[:, pf, sf, :].set(kn.astype(k_pages.dtype))
+    v_pages = v_pages.at[:, pf, sf, :].set(vn.astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
+def paged_attention_xla(
+    q: jnp.ndarray,  # (b, nq, hd) — single decode token per slot
+    k_pages: jnp.ndarray,  # (n_kv, P, ps, hd)
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,  # (b,) valid tokens (including the one just written)
+    page_indices: jnp.ndarray,  # (b, pages_per_seq)
+) -> jnp.ndarray:
+    """Reference implementation: gather each slot's pages into a dense
+    (b, max_ctx, n_kv, hd) view and run masked attention. The oracle for the
+    Pallas kernel and the CPU fallback."""
+    b, nq, hd = q.shape
+    n_kv, _, ps, _ = k_pages.shape
+    n_rep = nq // n_kv
+    max_ctx = page_indices.shape[1] * ps
+
+    # (b, pages, ps → ctx) gather
+    k = k_pages[:, page_indices]  # (n_kv, b, pages, ps, hd)
+    v = v_pages[:, page_indices]
+    k = k.transpose(1, 2, 3, 0, 4).reshape(b, max_ctx, n_kv, hd)
+    v = v.transpose(1, 2, 3, 0, 4).reshape(b, max_ctx, n_kv, hd)
+
+    qg = q.reshape(b, n_kv, n_rep, hd)
+    scores = jnp.einsum("bkrh,bskh->bkrs", qg.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (hd ** -0.5)
+    mask = jnp.arange(max_ctx)[None, :] < lengths[:, None]  # (b, ctx)
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkrs,bskh->bkrh", probs, v.astype(jnp.float32))
+    return out.reshape(b, nq, hd).astype(q.dtype)
+
+
+def paged_attention_decode(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    lengths: jnp.ndarray,
+    page_indices: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    # Default OFF pending validation: the bundled paged kernel's remote
+    # compile on this session's relay is extremely slow (>9 min); the XLA
+    # gather path is correct everywhere. Set ACCESSORY_TPU_PAGED=1 to enable.
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("ACCESSORY_TPU_PAGED", "0") == "1"
+        and q.shape[-1] in (64, 128, 256)
+    )
+    if use_pallas:
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention)
+
+        pages_per_seq = page_indices.shape[1]
+        block = min(pages_per_seq, 8)
+        # kernel requires pages_per_seq % pages_per_compute_block == 0
+        while pages_per_seq % block:
+            block -= 1
+        return paged_attention(
+            q, k_pages, v_pages, lengths, page_indices,
+            pages_per_compute_block=block)
+    return paged_attention_xla(q, k_pages, v_pages, lengths, page_indices)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import LLaMAArgs
 from accessory_tpu.ops.attention import attention
-from accessory_tpu.ops.linear import linear
+from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
@@ -56,7 +56,7 @@ def init_params(key: jax.Array, args: LLaMAArgs) -> Params:
         scale = scale or fan_in ** -0.5
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 20)
     params: Params = {
         "tok_embeddings": {"weight": dense(ks[0], (args.vocab_size, args.dim), 0.02)},
         "layers": {
@@ -77,7 +77,49 @@ def init_params(key: jax.Array, args: LLaMAArgs) -> Params:
         "norm": {"weight": jnp.ones((args.dim,), dtype)},
         "output": {"weight": dense(ks[8], (args.dim, args.vocab_size))},
     }
+
+    # PEFT additions (reference llama_peft.py:48-50 + peft.py:23-268):
+    # lora_a random, lora_b ZERO so the adapter starts as identity
+    if args.lora_rank > 0:
+        r = args.lora_rank
+        att, ff = params["layers"]["attention"], params["layers"]["feed_forward"]
+        dims = {"wq": (args.dim, nq * hd), "wk": (args.dim, nkv * hd),
+                "wv": (args.dim, nkv * hd), "wo": (nq * hd, args.dim)}
+        for i, (name, (din, dout)) in enumerate(dims.items()):
+            att[name]["lora_a"] = dense(ks[9 + i], (L, din, r))
+            att[name]["lora_b"] = jnp.zeros((L, r, dout), dtype)
+        fdims = {"w1": (args.dim, ffn), "w2": (ffn, args.dim), "w3": (args.dim, ffn)}
+        for i, (name, (din, dout)) in enumerate(fdims.items()):
+            ff[name]["lora_a"] = dense(ks[13 + i], (L, din, r))
+            ff[name]["lora_b"] = jnp.zeros((L, r, dout), dtype)
+    if args.bias_tuning:
+        att, ff = params["layers"]["attention"], params["layers"]["feed_forward"]
+        for name, dout in (("wq", nq * hd), ("wk", nkv * hd), ("wv", nkv * hd),
+                           ("wo", args.dim)):
+            att[name]["bias"] = jnp.zeros((L, dout), dtype)
+        for name, dout in (("w1", ffn), ("w2", args.dim), ("w3", ffn)):
+            ff[name]["bias"] = jnp.zeros((L, dout), dtype)
     return params
+
+
+def get_trainable_params_filter(args: LLaMAArgs):
+    """Name-predicate for the trainable subset (reference
+    get_trainable_params protocol, meta.py:216-224 + llama_peft trainability:
+    PEFT mode trains only lora/bias/norm; full mode trains everything)."""
+    peft = args.lora_rank > 0 or args.bias_tuning or args.norm_tuning
+    if not peft:
+        return lambda name: True
+
+    def f(name: str) -> bool:
+        if args.lora_rank > 0 and "lora" in name:
+            return True
+        if args.bias_tuning and name.endswith("bias"):
+            return True
+        if args.norm_tuning and "norm" in name:
+            return True
+        return False
+
+    return f
 
 
 def param_axes(args: LLaMAArgs) -> Params:
@@ -89,7 +131,7 @@ def param_axes(args: LLaMAArgs) -> Params:
     our (vocab, dim) layout → shard "vocab" on tp).
     """
     A = lambda *names: tuple(names)  # noqa: E731
-    return {
+    axes = {
         "tok_embeddings": {"weight": A("vocab", "embed")},
         "layers": {
             "attention_norm": {"weight": A("layers", None)},
@@ -109,6 +151,28 @@ def param_axes(args: LLaMAArgs) -> Params:
         "norm": {"weight": A(None)},
         "output": {"weight": A("embed", "vocab")},
     }
+    att, ff = axes["layers"]["attention"], axes["layers"]["feed_forward"]
+    if args.lora_rank > 0:
+        # reference TP placement: lora_a row-parallel (shard in), lora_b
+        # column-parallel (shard out) — peft.py:132, :238
+        for name in ("wq", "wk", "wv"):
+            att[name]["lora_a"] = A("layers", "embed", None)
+            att[name]["lora_b"] = A("layers", None, "heads")
+        att["wo"]["lora_a"] = A("layers", "heads", None)
+        att["wo"]["lora_b"] = A("layers", None, "embed")
+        for name in ("w1", "w3"):
+            ff[name]["lora_a"] = A("layers", "embed", None)
+            ff[name]["lora_b"] = A("layers", None, "ffn")
+        ff["w2"]["lora_a"] = A("layers", "ffn", None)
+        ff["w2"]["lora_b"] = A("layers", None, "embed")
+    if args.bias_tuning:
+        for name in ("wq", "wk", "wv"):
+            att[name]["bias"] = A("layers", "heads")
+        att["wo"]["bias"] = A("layers", None)
+        for name in ("w1", "w3"):
+            ff[name]["bias"] = A("layers", "ffn")
+        ff["w2"]["bias"] = A("layers", None)
+    return axes
 
 
 # ---------------------------------------------------------------------------
@@ -146,9 +210,9 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     att = layer["attention"]
 
     x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
-    q = linear(x, att["wq"]["weight"]).reshape(b, sq, nq, hd)
-    k = linear(x, att["wk"]["weight"]).reshape(b, sq, nkv, hd)
-    v = linear(x, att["wv"]["weight"]).reshape(b, sq, nkv, hd)
+    q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
+    k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
+    v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
     q = apply_rope(q, cos, sin, args.rope_style)
     k = apply_rope(k, cos, sin, args.rope_style)
 
@@ -163,12 +227,12 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
-    h = h + linear(out.reshape(b, sq, nq * hd), att["wo"]["weight"])
+    h = h + module_linear(out.reshape(b, sq, nq * hd), att["wo"])
 
     x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
     ff = layer["feed_forward"]
-    gate = jax.nn.silu(linear(x, ff["w1"]["weight"]))
-    h = h + linear(gate * linear(x, ff["w3"]["weight"]), ff["w2"]["weight"])
+    gate = jax.nn.silu(module_linear(x, ff["w1"]))
+    h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
     return h, cache_k, cache_v
 
 
@@ -233,4 +297,90 @@ def forward(
 
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# paged decode path
+# ---------------------------------------------------------------------------
+
+def init_paged_cache(args: LLaMAArgs, slots: int, total_pages: int,
+                     page_size: int = 64, pages_per_seq: Optional[int] = None,
+                     dtype=None):
+    from accessory_tpu.engine.kvcache import init_paged_cache as _init
+
+    pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
+    return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
+                 page_size, slots, pages_per_seq,
+                 dtype=dtype or jnp.dtype(args.dtype))
+
+
+def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
+    """Forward against a PagedKVCache (engine/kvcache.py).
+
+    Two modes, mirroring forward_inference's prefill/decode split
+    (llama.py:394-427) but with per-slot positions:
+      * sq > 1 — full prefill from position 0 for every slot (lengths
+        ignored as offsets; chunk self-attention + page writes)
+      * sq == 1 — one decode token per slot at position pcache.lengths,
+        attended via the paged decode kernel
+
+    Returns (logits (b, sq, vocab) fp32, updated PagedKVCache with
+    lengths += sq).
+    """
+    from accessory_tpu.engine.kvcache import (
+        paged_attention_decode, write_tokens)
+    from accessory_tpu.ops.attention import attention as dense_attention
+
+    b, sq = tokens.shape
+    hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
+    h = jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0)
+
+    max_pos = pcache.pages_per_seq * pcache.page_size
+    cos_full, sin_full = precompute_rope(
+        hd, max_pos, args.rope_theta, args.rope_scaling)
+    decode = sq == 1
+    if decode:
+        pos = pcache.lengths  # (b,)
+        cos = jnp.take(cos_full, pos, axis=0)[:, None, :]  # (b, 1, d/2)
+        sin = jnp.take(sin_full, pos, axis=0)[:, None, :]
+        start = pos
+    else:
+        cos, sin = cos_full[:sq], sin_full[:sq]
+        start = jnp.zeros((b,), jnp.int32)
+
+    page_indices = pcache.page_indices
+    new_lengths = pcache.lengths + sq
+
+    def body(h, xs):
+        layer, kp, vp = xs
+        x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
+        att = layer["attention"]
+        q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
+        k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
+        v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
+        q = apply_rope(q, cos, sin, args.rope_style)
+        k = apply_rope(k, cos, sin, args.rope_style)
+
+        kp, vp = write_tokens(kp, vp, k, v, page_indices, start)
+        if decode:
+            out = paged_attention_decode(
+                q[:, 0], kp, vp, new_lengths, page_indices)[:, None]
+        else:
+            out = dense_attention(q, k, v, causal=True, q_offset=0)
+
+        h = h + module_linear(out.reshape(b, sq, nq * hd), att["wo"])
+        x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
+        ff = layer["feed_forward"]
+        gate = jax.nn.silu(module_linear(x, ff["w1"]))
+        h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
+        return h, (kp, vp)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
+
+    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
+    logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    new_cache = dataclasses.replace(
+        pcache, k_pages=new_k, v_pages=new_v, lengths=new_lengths)
     return logits, new_cache

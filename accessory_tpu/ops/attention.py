@@ -59,6 +59,16 @@ def attention(
     if scale is None:
         scale = hd ** -0.5
 
+    # Pallas flash kernel for the self-attention case (training / no-cache
+    # prefill) — mirrors the reference's flash gating (llama.py:181-187:
+    # flash only when q_len == kv_len with causal mask)
+    if kv_len is None and causal and isinstance(q_offset, int) and q_offset == 0:
+        from accessory_tpu.ops.flash_attention import (
+            flash_attention_tpu, flash_available)
+
+        if flash_available(sq, skv, causal, hd):
+            return flash_attention_tpu(q, k, v, scale=scale, causal=True)
+
     qg = q.reshape(b, sq, nkv, n_rep, hd)
     # scores: (b, nkv, n_rep, sq, skv), accumulated in fp32 on the MXU
     scores = jnp.einsum(

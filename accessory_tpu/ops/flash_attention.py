@@ -1,0 +1,56 @@
+"""Flash-attention dispatch for TPU.
+
+Reference behavior being replaced: flash-attn CUDA kernels, used when
+q_len == kv_len (training/prefill) with a causal mask
+(accessory/model/LLM/llama.py:170-187 gating rules; the decode path with
+q_len==1 uses sdpa). On TPU the equivalent is the Pallas flash-attention
+kernel bundled with JAX (jax.experimental.pallas.ops.tpu.flash_attention —
+blockwise online-softmax, O(L) memory, custom VJP for training).
+
+GQA handling: the kernel wants equal q/kv head counts; we repeat KV heads
+before the call (same as flash-attn's internal repeat, llama.py:80-89
+``repeat_kv``). The XLA grouped path (ops.attention) stays the fallback and
+numerical reference.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def flash_available(q_len: int, kv_len: int, causal: bool, head_dim: int) -> bool:
+    if os.environ.get("ACCESSORY_TPU_FLASH", "1") == "0":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    # kernel constraints: self-attention shape, last dim lane-aligned enough
+    return causal and q_len == kv_len and q_len >= 128 and head_dim in (64, 128, 256)
+
+
+def flash_attention_tpu(
+    q: jnp.ndarray,  # (b, sq, nq, hd)
+    k: jnp.ndarray,  # (b, sq, nkv, hd)
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    causal: bool = True,
+) -> jnp.ndarray:
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    b, sq, nq, hd = q.shape
+    nkv = k.shape[2]
+    n_rep = nq // nkv
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+    qt = q.transpose(0, 2, 1, 3)  # (b, h, s, d)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = flash_attention(
+        qt, kt, vt, causal=causal,
+        sm_scale=scale if scale is not None else hd ** -0.5)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)

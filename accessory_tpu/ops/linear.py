@@ -27,3 +27,17 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def module_linear(x: jnp.ndarray, mod: dict) -> jnp.ndarray:
+    """Apply a linear "module" dict: {"weight", ["bias"], ["lora_a","lora_b"]}.
+
+    The value-typed equivalent of the reference's Lora*ParallelLinear layer
+    classes (accessory/model/peft.py:23-268): y = x@W [+ b] + (x@A)@B, with
+    lora_b zero-initialized so finetuning starts at the base function. Key
+    presence is static under jit, so non-PEFT models pay nothing.
+    """
+    y = linear(x, mod["weight"], mod.get("bias"))
+    if "lora_a" in mod:
+        y = y + linear(linear(x, mod["lora_a"]), mod["lora_b"]).astype(y.dtype)
+    return y

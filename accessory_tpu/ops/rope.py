@@ -42,14 +42,20 @@ def apply_rope(
 ) -> jnp.ndarray:
     """Rotate q or k.
 
-    x: (batch, seq, heads, head_dim); cos/sin: (seq, head_dim//2).
+    x: (batch, seq, heads, head_dim); cos/sin: (seq, head_dim//2) shared
+    across the batch, or (batch, seq, head_dim//2) for per-sequence positions
+    (paged decode, where every slot sits at a different absolute position).
     Math in fp32, result cast back to x.dtype (reference rotates in fp32 and
     casts back with .type_as, llama.py apply_rotary_emb).
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 3:
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    else:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
     if style == "interleaved":
         xr = xf.reshape(*xf.shape[:-1], -1, 2)
         x0, x1 = xr[..., 0], xr[..., 1]

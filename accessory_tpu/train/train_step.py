@@ -39,6 +39,34 @@ class TrainState:
                    opt_state=tx.init(params))
 
 
+def _is_static_leaf(x) -> bool:
+    """Leaves excluded from differentiation: quantized weights (QPEFT keeps
+    the 4-bit base frozen, reference main_finetune.py:172-210) and any
+    non-float array."""
+    if hasattr(x, "bits") and hasattr(x, "packed"):
+        return True
+    return hasattr(x, "dtype") and not jnp.issubdtype(x.dtype, jnp.floating)
+
+
+def _qw(x) -> bool:
+    return hasattr(x, "bits") and hasattr(x, "packed")
+
+
+def partition_params(params):
+    """Split into (diff, static) trees with None placeholders (same treedef);
+    merge with ``combine_params``."""
+    diff = jax.tree.map(lambda x: None if _is_static_leaf(x) else x, params,
+                        is_leaf=_qw)
+    static = jax.tree.map(lambda x: x if _is_static_leaf(x) else None, params,
+                          is_leaf=_qw)
+    return diff, static
+
+
+def combine_params(diff, static):
+    return jax.tree.map(lambda d, s: s if d is None else d, diff, static,
+                        is_leaf=lambda x: x is None)
+
+
 def make_train_step(
     module,
     args,
@@ -65,11 +93,18 @@ def make_train_step(
         c_loss, n_tok = cross_entropy_loss(logits, labels, ignore_index)
         return c_loss + aux, (c_loss, aux, n_tok)
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    def diff_loss_fn(diff, static, examples, labels):
+        return loss_fn(combine_params(diff, static), examples, labels)
+
+    grad_fn = jax.value_and_grad(diff_loss_fn, has_aux=True)
 
     def one_micro(params, mb):
-        (loss, (c_loss, aux, n_tok)), grads = grad_fn(
-            params, mb["examples"], mb["labels"])
+        diff, static = partition_params(params)
+        (loss, (c_loss, aux, n_tok)), gdiff = grad_fn(
+            diff, static, mb["examples"], mb["labels"])
+        # static leaves get zero placeholder "grads" (their optimizer label
+        # is "frozen"/set_to_zero) so global-norm clipping sees only real ones
+        grads = combine_params(gdiff, jax.tree.map(jnp.zeros_like, static))
         return grads, {"loss": loss, "c_loss": c_loss, "aux_loss": aux,
                        "n_tokens": n_tok}
 

@@ -1,0 +1,77 @@
+"""Paged KV cache tests: page writes, XLA paged attention vs dense oracle,
+and full paged decode parity with the dense-cache decode path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from accessory_tpu.config import LLaMAArgs
+from accessory_tpu.engine.kvcache import (
+    init_paged_cache,
+    paged_attention_xla,
+    write_tokens,
+)
+from accessory_tpu.models import llama
+
+
+def test_write_and_gather_roundtrip():
+    n_kv, P, ps, hd = 2, 8, 4, 8
+    kp = jnp.zeros((n_kv, P, ps, hd))
+    vp = jnp.zeros((n_kv, P, ps, hd))
+    b, s = 2, 6
+    k = jax.random.normal(jax.random.PRNGKey(0), (b, s, n_kv, hd))
+    v = jax.random.normal(jax.random.PRNGKey(1), (b, s, n_kv, hd))
+    page_idx = jnp.array([[0, 1, 2, 3], [4, 5, 6, 7]], jnp.int32)
+    kp, vp = write_tokens(kp, vp, k, v, page_idx, jnp.zeros((b,), jnp.int32))
+    # token (i, t) lives in page page_idx[i, t//ps] slot t%ps
+    for i in range(b):
+        for t in range(s):
+            got = kp[:, page_idx[i, t // ps], t % ps, :]  # (n_kv, hd)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(k[i, t]),
+                                       rtol=1e-6)
+
+
+def test_paged_attention_xla_matches_dense():
+    from accessory_tpu.ops.attention import attention
+
+    b, nq, nkv, hd, ps, pages = 2, 8, 2, 16, 4, 8
+    ctx = ps * 4
+    lengths = jnp.array([9, 13], jnp.int32)
+    kd = jax.random.normal(jax.random.PRNGKey(0), (b, ctx, nkv, hd))
+    vd = jax.random.normal(jax.random.PRNGKey(1), (b, ctx, nkv, hd))
+    q = jax.random.normal(jax.random.PRNGKey(2), (b, 1, nq, hd))
+
+    # densely-packed pages: seq i uses pages [i*4, i*4+4)
+    page_idx = (jnp.arange(b)[:, None] * 4 + jnp.arange(4)[None, :]).astype(jnp.int32)
+    kp = jnp.zeros((nkv, b * 4, ps, hd))
+    vp = jnp.zeros((nkv, b * 4, ps, hd))
+    kp, vp = write_tokens(kp, vp, kd, vd, page_idx, jnp.zeros((b,), jnp.int32))
+
+    out_p = paged_attention_xla(q[:, 0], kp, vp, lengths, page_idx)
+    out_d = attention(q, kd, vd, causal=True, q_offset=lengths - 1, kv_len=lengths)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d[:, 0]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_matches_dense_cache():
+    args = LLaMAArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=97,
+                     multiple_of=32, max_seq_len=32, dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    b, prefill, steps = 2, 8, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, prefill + steps), 0, 97)
+
+    dense = llama.init_kv_cache(args, b, max_len=32)
+    ld, dense = llama.forward(params, args, tokens[:, :prefill], cache=dense, cur_pos=0)
+
+    pcache = llama.init_paged_cache(args, slots=b, total_pages=2 * (32 // 8),
+                                    page_size=8)
+    lp, pcache = llama.forward_paged(params, args, tokens[:, :prefill], pcache)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld), rtol=2e-4, atol=2e-4)
+    assert np.all(np.asarray(pcache.lengths) == prefill)
+
+    for i in range(prefill, prefill + steps):
+        ldd, dense = llama.forward(params, args, tokens[:, i:i + 1],
+                                   cache=dense, cur_pos=i)
+        lpp, pcache = llama.forward_paged(params, args, tokens[:, i:i + 1], pcache)
+        np.testing.assert_allclose(np.asarray(lpp), np.asarray(ldd),
+                                   rtol=3e-4, atol=3e-4)
