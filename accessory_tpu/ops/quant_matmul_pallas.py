@@ -89,6 +89,14 @@ def _qmm(x2d, packed, scales, zeros, *, bits, group_size, interpret=False):
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
     mp = x2d.shape[0]
 
+    # the in-kernel dynamic roll needs an 8-aligned sublane count; pad the
+    # (tiny) group dim — rolled-in garbage rows are never selected because
+    # g0 + groups_per_tile <= real group count
+    pad_g = (-scales.shape[0]) % 8
+    if pad_g:
+        scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
+        zeros = jnp.pad(zeros, ((0, pad_g), (0, 0)))
+
     grid = (mp // tm, n // tn, k // tk)
     words_per_tile = tk // pw
 
@@ -102,9 +110,9 @@ def _qmm(x2d, packed, scales, zeros, *, bits, group_size, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((words_per_tile, tn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // group_size, tn), lambda i, j, kk: (0, j),
+            pl.BlockSpec((scales.shape[0], tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k // group_size, tn), lambda i, j, kk: (0, j),
+            pl.BlockSpec((zeros.shape[0], tn), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),

@@ -7,18 +7,17 @@ result (layer-wise lr decay, util/param_group.py).
 
 from __future__ import annotations
 
-import math
+import jax.numpy as jnp
 
 
-def cosine_lr(it: float, lr: float, min_lr: float, warmup: float, total: float) -> float:
-    """Scalar schedule value at step ``it`` (float so epoch-fractions work)."""
-    if warmup > 0 and it < warmup:
-        return lr * it / warmup
-    if total <= warmup:
-        return lr
-    progress = (it - warmup) / (total - warmup)
-    progress = min(max(progress, 0.0), 1.0)
-    return min_lr + (lr - min_lr) * 0.5 * (1.0 + math.cos(math.pi * progress))
+def cosine_lr(it, lr: float, min_lr: float, warmup: float, total: float):
+    """Schedule value at step ``it``. Traceable — optax calls schedules with
+    a traced step count inside the jitted update."""
+    it = jnp.asarray(it, jnp.float32)
+    warm = lr * it / jnp.maximum(warmup, 1e-9)
+    progress = jnp.clip((it - warmup) / jnp.maximum(total - warmup, 1e-9), 0.0, 1.0)
+    cos = min_lr + (lr - min_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+    return jnp.where(it < warmup, warm, cos)
 
 
 def adjust_learning_rate(it: int, args) -> float:
