@@ -191,11 +191,59 @@ class MixtralArgs:
         return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
 
 
+@dataclass
+class SphinxArgs(LLaMAArgs):
+    """SPHINX multimodal (llama_ens family). Reference:
+    accessory/model/LLM/llama_ens.py:278-339 (visual ensemble + image_words),
+    llama_ens5.py (448px 5-crop), llama_ens_light.py (light towers).
+
+    Tower dimensions default to the production SPHINX ensemble; tests shrink
+    them. ``visual``: "ens" | "ens5" | "ens_light" | "ens5_light".
+    """
+
+    visual: str = "ens"
+    image_size: int = 224  # 448 for ens5 variants
+    load_pretrained_visual_encoder: bool = False
+
+    # CLIP ViT-L/14
+    vit_patch: int = 14
+    clip_width: int = 1024
+    clip_layers: int = 24
+    clip_heads: int = 16
+    # DINOv2 ViT-g/14
+    dino_width: int = 1536
+    dino_layers: int = 40
+    dino_heads: int = 24
+    # OpenCLIP ConvNeXt-XXL
+    convnext_depths: tuple = (3, 4, 30, 3)
+    convnext_dims: tuple = (384, 768, 1536, 3072)
+    # BLIP-2 Q-Former
+    qformer_width: int = 768
+    qformer_layers: int = 12
+    qformer_heads: int = 12
+
+
 ARGS_REGISTRY: Dict[str, Any] = {
     "llama": LLaMAArgs,
     "llama_peft": LLaMAArgs,
     "internlm": InternLMArgs,
     "falcon": FalconArgs,
     "mixtral": MixtralArgs,
+    "mixtral_peft": MixtralArgs,
     "mixtral_sparse": MixtralArgs,
+    "llama_ens": SphinxArgs,
+    "llama_ens5": SphinxArgs,
+    "llama_ens5p2": SphinxArgs,
+    "llama_ens10": SphinxArgs,
+    "llama_ens_peft": SphinxArgs,
+    "llama_ens_light": SphinxArgs,
+    "llama_ens5_light": SphinxArgs,
 }
+
+
+def _sphinx_visual_for(llama_type: str) -> str:
+    return {
+        "llama_ens": "ens", "llama_ens5": "ens5", "llama_ens5p2": "ens5",
+        "llama_ens10": "ens5", "llama_ens_peft": "ens",
+        "llama_ens_light": "ens_light", "llama_ens5_light": "ens5_light",
+    }[llama_type]

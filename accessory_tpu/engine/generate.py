@@ -192,7 +192,10 @@ class Generator:
         if embeds is not None:
             tok_emb = jnp.take(
                 _embedding_table(self.params), jnp.asarray(tokens[:, :prefill_len]), axis=0)
-            emb = jnp.concatenate([embeds, tok_emb], axis=1)
+            # image tokens go AFTER the leading BOS (reference llama_ens.py
+            # :483-492: h = cat(bos, start_img, image, end_img, rest))
+            emb = jnp.concatenate(
+                [tok_emb[:, :1], embeds, tok_emb[:, 1:]], axis=1)
             out_tokens, stopped, stop_pos = run(
                 self.params, jnp.asarray(tokens), jnp.asarray(mask),
                 jnp.int32(min_prompt), jnp.int32(total_len),
@@ -255,7 +258,8 @@ class Generator:
         if embeds is not None:
             tok_emb = jnp.take(_embedding_table(self.params),
                                jnp.asarray(tokens[:, :prefill_len]), axis=0)
-            emb = jnp.concatenate([embeds, tok_emb], axis=1)
+            emb = jnp.concatenate(
+                [tok_emb[:, :1], embeds, tok_emb[:, 1:]], axis=1)
             logits, cache = jax.jit(
                 lambda p, t, c: self.module.forward(
                     p, args, t, cache=c, cur_pos=0, embeds=emb)

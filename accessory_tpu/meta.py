@@ -53,6 +53,11 @@ class MetaModel:
         overrides: Dict[str, Any] = {"max_seq_len": max_seq_len}
         if vocab is not None:
             overrides["vocab_size"] = vocab
+        from accessory_tpu.config import SphinxArgs, _sphinx_visual_for
+
+        if args_cls is SphinxArgs:
+            overrides.setdefault("visual", _sphinx_visual_for(llama_type))
+            with_visual = True
         self.args = make_args(args_cls, llama_config, **overrides)
         self.with_visual = with_visual
 
@@ -63,13 +68,29 @@ class MetaModel:
 
     # ------------------------------------------------------------------
 
+    def _encode_image_hook(self):
+        """(params, images) → (image token embeds, n_image_words) for the
+        generation engine, when the model family has a visual branch."""
+        enc = getattr(self.module, "encode_image", None)
+        if not self.with_visual or enc is None:
+            return None
+        from accessory_tpu.models.sphinx import image_words
+
+        def f(params, images):
+            import jax.numpy as jnp
+
+            return enc(params, self.args, jnp.asarray(images)), \
+                image_words(self.args)
+
+        return f
+
     @property
     def generator(self) -> Generator:
         if self._generator is None:
             assert self.params is not None and self.tokenizer is not None
             self._generator = Generator(
                 self.module, self.args, self.params, self.tokenizer,
-                encode_image=getattr(self, "_encode_image", None))
+                encode_image=self._encode_image_hook())
         return self._generator
 
     def _reset_generator(self):

@@ -21,6 +21,15 @@ _FAMILY_BY_TYPE = {
     "mixtral": "mixtral",
     "mixtral_peft": "mixtral",
     "mixtral_sparse": "mixtral",
+    # SPHINX multimodal (llama_ens family; reference has one file per crop
+    # layout — here the layout is the `visual` config field)
+    "llama_ens": "sphinx",
+    "llama_ens5": "sphinx",
+    "llama_ens5p2": "sphinx",
+    "llama_ens10": "sphinx",
+    "llama_ens_peft": "sphinx",
+    "llama_ens_light": "sphinx",
+    "llama_ens5_light": "sphinx",
 }
 
 

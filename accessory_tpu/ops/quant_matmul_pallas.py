@@ -68,12 +68,14 @@ def _kernel(x_ref, packed_ref, scales_ref, zeros_ref, out_ref, acc_ref, *,
 
 
 def _choose_tiles(m: int, k: int, n: int, bits: int, group_size: int):
+    """Tuned on the real chip via full-decode A/B (TinyLlama bs8): large
+    K/N tiles amortize per-program overhead — tk2048/tn512 gave 1945 tok/s
+    vs 1611 at tk512/tn256."""
     tm = 128 if m >= 128 else max(8, 1 << (m - 1).bit_length())
-    # TK must be a multiple of both group_size and the packing word count
-    tk = min(k, max(group_size, 512))
+    tk = min(k, max(group_size, 2048))
     while k % tk:
         tk -= group_size
-    tn = 256 if n % 256 == 0 else 128
+    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     return tm, tk, tn
 
 
