@@ -1,0 +1,80 @@
+"""Profiling & roofline reporting.
+
+The reference has no profiler integration (SURVEY.md §5: wall-clock meters
+only). TPU build adds:
+  * ``trace(logdir)``     — jax.profiler trace capture context (view in
+    TensorBoard / Perfetto)
+  * ``time_fn``           — robust wall-clock timing through the axon relay
+    (host-fetch barrier + two-point overhead fit, since block_until_ready
+    returns early on this backend)
+  * ``roofline_report``   — bytes/flops accounting for a params pytree at
+    decode, vs measured step time (the BASELINE "speed-of-light" check)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+HBM_BW_DEFAULT = 819e9  # v5e spec; measured streaming ceiling ~656 GB/s
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(f: Callable, *args, n1: int = 20, n2: int = 120) -> float:
+    """Seconds per call, amortized; the returned value excludes fixed
+    dispatch+fetch overhead (two-point fit)."""
+    out = f(*args)
+    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        out = f(*args)
+    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n2):
+        out = f(*args)
+    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / (n2 - n1)
+
+
+def params_bytes(params) -> int:
+    from accessory_tpu.quant.qtensor import QuantizedWeight
+
+    total = 0
+    for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
+        if isinstance(leaf, QuantizedWeight):
+            total += leaf.packed.size * 4 + leaf.scales.size * 4 + leaf.zeros.size * 4
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def roofline_report(step_fn: Callable, params, batch: int,
+                    kv_bytes_per_step: int = 0, *step_args,
+                    hbm_bw: float = HBM_BW_DEFAULT) -> Dict[str, float]:
+    """Measure a decode step and report achieved vs speed-of-light."""
+    dt = time_fn(step_fn, params, *step_args)
+    wbytes = params_bytes(params)
+    bytes_per_step = wbytes + kv_bytes_per_step
+    sol_step = bytes_per_step / hbm_bw
+    return {
+        "step_ms": dt * 1e3,
+        "tokens_per_s": batch / dt,
+        "weight_bytes": wbytes,
+        "achieved_gbps": bytes_per_step / dt / 1e9,
+        "roofline_fraction": sol_step / dt,
+    }
