@@ -192,6 +192,20 @@ class MixtralArgs:
 
 
 @dataclass
+class AdapterArgs(LLaMAArgs):
+    """LLaMA-Adapter zero-init prefix tuning. Reference:
+    accessory/model/LLM/llama_adapter.py:48-62."""
+
+    prefix_layers: Optional[int] = None  # None → all layers
+    prefix_len: int = 10
+    v_embed_dim: int = 768
+    v_depth: int = 8
+    v_num_heads: int = 16
+    v_mlp_ratio: float = 4.0
+    trainable_mode: str = "sg"  # sg | mm_stage1 | mm_stage2
+
+
+@dataclass
 class SphinxArgs(LLaMAArgs):
     """SPHINX multimodal (llama_ens family). Reference:
     accessory/model/LLM/llama_ens.py:278-339 (visual ensemble + image_words),
@@ -226,11 +240,14 @@ class SphinxArgs(LLaMAArgs):
 ARGS_REGISTRY: Dict[str, Any] = {
     "llama": LLaMAArgs,
     "llama_peft": LLaMAArgs,
+    "llama_adapter": AdapterArgs,
     "internlm": InternLMArgs,
     "falcon": FalconArgs,
     "mixtral": MixtralArgs,
     "mixtral_peft": MixtralArgs,
     "mixtral_sparse": MixtralArgs,
+    "llama_qformerv2": SphinxArgs,
+    "llama_qformerv2_peft": SphinxArgs,
     "llama_ens": SphinxArgs,
     "llama_ens5": SphinxArgs,
     "llama_ens5p2": SphinxArgs,

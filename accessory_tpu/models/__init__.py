@@ -21,6 +21,9 @@ _FAMILY_BY_TYPE = {
     "mixtral": "mixtral",
     "mixtral_peft": "mixtral",
     "mixtral_sparse": "mixtral",
+    "llama_adapter": "llama_adapter",
+    "llama_qformerv2": "llama_qformerv2",
+    "llama_qformerv2_peft": "llama_qformerv2",
     # SPHINX multimodal (llama_ens family; reference has one file per crop
     # layout — here the layout is the `visual` config field)
     "llama_ens": "sphinx",

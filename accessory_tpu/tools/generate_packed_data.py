@@ -24,16 +24,18 @@ def get_args_parser():
 
 
 def pack_file(path: str, out_path: str, tokenizer, max_words: int) -> int:
+    import numpy as np
     import pandas as pd
 
+    from accessory_tpu import native
+
     df = pd.read_parquet(path, columns=["content"])
-    buf = []
-    packed = []
+    stream = []
     for text in df["content"]:
-        buf.extend(tokenizer.encode(text, bos=True, eos=True))
-        while len(buf) >= max_words:
-            packed.append(buf[:max_words])
-            buf = buf[max_words:]
+        stream.extend(tokenizer.encode(text, bos=True, eos=True))
+    # C fast path (native/packing.cc) with numpy fallback
+    arr = native.pack_stream(np.asarray(stream, np.int32), max_words)
+    packed = [row.tolist() for row in arr]
     with open(out_path, "wb") as f:
         pickle.dump(packed, f)
     return len(packed)
