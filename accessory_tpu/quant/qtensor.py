@@ -44,10 +44,16 @@ class QuantizedWeight:
     in_dim: int
     out_dim: int
     act_dtype: jnp.dtype = jnp.bfloat16
+    # "std" little-endian K-packing, or "magic" (bf16 magic-number kernel
+    # layout with folded scales s/16 and zeros 256+16z; tile_k records the
+    # per-tile extraction extent). See ops/quant_matmul_magic.py.
+    layout: str = "std"
+    tile_k: int = 0
 
     def tree_flatten(self):
         return (self.packed, self.scales, self.zeros), (
-            self.bits, self.group_size, self.in_dim, self.out_dim, self.act_dtype,
+            self.bits, self.group_size, self.in_dim, self.out_dim,
+            self.act_dtype, self.layout, self.tile_k,
         )
 
     @classmethod
@@ -126,8 +132,35 @@ def quantize_weight(
     )
 
 
+def to_magic_layout(qw: QuantizedWeight) -> QuantizedWeight:
+    """Repack a std-layout W4 QuantizedWeight for the magic-number kernel
+    (host-side one-time; see ops/quant_matmul_magic.py)."""
+    from accessory_tpu.ops.quant_matmul_magic import (
+        magic_constants, repack_for_magic)
+
+    assert qw.layout == "std" and qw.bits == 4
+    gs = qw.group_size
+    tk = 4 * gs
+    while qw.in_dim % (2 * tk) == 0 and 2 * tk <= 2048:
+        tk *= 2
+    assert qw.in_dim % tk == 0, (qw.in_dim, tk)
+    if qw.packed.ndim == 3:  # stacked layers
+        L = qw.packed.shape[0]
+        pm = jnp.stack([repack_for_magic(qw.packed[i], qw.in_dim, tk)
+                        for i in range(L)])
+    else:
+        pm = repack_for_magic(qw.packed, qw.in_dim, tk)
+    s2, z2 = magic_constants(qw.scales.astype(jnp.float32),
+                             qw.zeros.astype(jnp.float32))
+    return QuantizedWeight(
+        packed=pm, scales=s2, zeros=z2, bits=4, group_size=gs,
+        in_dim=qw.in_dim, out_dim=qw.out_dim, act_dtype=qw.act_dtype,
+        layout="magic", tile_k=tk)
+
+
 def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
-    """XLA reference dequant → (in_dim, out_dim) dense weight."""
+    """XLA reference dequant → (in_dim, out_dim) dense weight (std layout)."""
+    assert qw.layout == "std", "dequantize magic-layout via the kernel"
     dtype = dtype or qw.act_dtype
     q = unpack_int(qw.packed, qw.bits, qw.in_dim).astype(jnp.float32)
     g = qw.group_size
@@ -143,6 +176,16 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
     prologue reasonably well, but the Pallas kernel keeps packed words in VMEM
     and hits HBM at the 4-bit footprint (the point of W4A16 decode).
     """
+    if qw.layout == "magic":
+        from accessory_tpu.ops.quant_matmul_magic import magic_qmm
+
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
+        out = magic_qmm(x2d, qw.packed, qw.scales, qw.zeros,
+                        group_size=qw.group_size, tk=qw.tile_k,
+                        interpret=jax.default_backend() != "tpu")
+        return out.reshape(*lead, qw.out_dim)
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     # kernel constraints: W4 only (W3's 10-per-word packing doesn't tile),
