@@ -117,6 +117,21 @@ def load_torch_checkpoint(path: str, llama_type: str = "llama") -> Dict[str, np.
         present = [sh[name] for sh in shards if name in sh]
         rule, dim = _merge_rule(name, llama_type)
         if len(present) == 1 or rule == "rep":
+            if len(present) > 1:
+                # replicated params must agree across shards (reference
+                # consistency check, tensor_parallel.py:116-123)
+                import torch as _t
+
+                ref0 = present[0].float()
+                for other in present[1:]:
+                    diff = float((other.float() - ref0).abs().max())
+                    if diff > 1e-6:
+                        import warnings
+
+                        warnings.warn(
+                            f"replicated param {name!r} differs across TP "
+                            f"shards (max abs diff {diff:.3e})")
+                        break
             merged[name] = _to_numpy(present[0])
         elif rule == "moe_fused":
             import torch as _t

@@ -181,6 +181,10 @@ class MixtralArgs:
     # mixtral.py) | "sparse" (every device holds 1/tp of each expert's hidden
     # dim, reference mixtral_sparse.py)
     expert_layout: str = "ep"
+    # PEFT (reference mixtral_peft.py: LoRA/bias on the attention projections)
+    lora_rank: int = -1
+    bias_tuning: bool = False
+    norm_tuning: bool = False
 
     @property
     def head_dim(self) -> int:

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import MixtralArgs
 from accessory_tpu.ops.attention import attention
-from accessory_tpu.ops.linear import linear
+from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -41,7 +41,7 @@ def init_params(key: jax.Array, args: MixtralArgs) -> Params:
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
     ks = jax.random.split(key, 12)
-    return {
+    params: Params = {
         "tok_embeddings": {"weight": dense(ks[0], (args.vocab_size, args.dim), 0.02)},
         "layers": {
             "attention_norm": {"weight": jnp.ones((L, args.dim), dtype)},
@@ -63,6 +63,43 @@ def init_params(key: jax.Array, args: MixtralArgs) -> Params:
         "norm": {"weight": jnp.ones((args.dim,), dtype)},
         "output": {"weight": dense(ks[9], (args.dim, args.vocab_size))},
     }
+    # PEFT on attention projections (reference mixtral_peft.py)
+    if args.lora_rank > 0:
+        r = args.lora_rank
+        att = params["layers"]["attention"]
+        dims = {"wq": (args.dim, nq * hd), "wk": (args.dim, nkv * hd),
+                "wv": (args.dim, nkv * hd), "wo": (nq * hd, args.dim)}
+        for i, (name, (din, dout)) in enumerate(dims.items()):
+            att[name]["lora_a"] = dense(jax.random.fold_in(ks[10], i),
+                                        (L, din, r))
+            att[name]["lora_b"] = jnp.zeros((L, r, dout), dtype)
+    if args.bias_tuning:
+        att = params["layers"]["attention"]
+        for name, dout in (("wq", nq * hd), ("wk", nkv * hd),
+                           ("wv", nkv * hd), ("wo", args.dim)):
+            att[name]["bias"] = jnp.zeros((L, dout), dtype)
+    return params
+
+
+def get_trainable_params_filter(args: MixtralArgs):
+    peft = args.lora_rank > 0 or args.bias_tuning or args.norm_tuning
+    if not peft:
+        return lambda name: True
+
+    def f(name: str) -> bool:
+        if args.lora_rank > 0 and "lora" in name:
+            return True
+        if args.bias_tuning and name.endswith("bias"):
+            return True
+        if args.norm_tuning and "norm" in name:
+            return True
+        return False
+
+    return f
+
+
+def get_quant_blocklist(args: MixtralArgs):
+    return ["gate"]  # router stays fp32 (fp32 softmax numerics)
 
 
 def param_axes(args: MixtralArgs) -> Params:
@@ -75,7 +112,7 @@ def param_axes(args: MixtralArgs) -> Params:
         e_ax, h_ax = "experts", None
     else:  # "sparse"
         e_ax, h_ax = None, "expert_ffn"
-    return {
+    axes = {
         "tok_embeddings": {"weight": A("vocab", "embed")},
         "layers": {
             "attention_norm": {"weight": A("layers", None)},
@@ -96,6 +133,18 @@ def param_axes(args: MixtralArgs) -> Params:
         "norm": {"weight": A(None)},
         "output": {"weight": A("embed", "vocab")},
     }
+    att = axes["layers"]["attention"]
+    if args.lora_rank > 0:
+        for name in ("wq", "wk", "wv"):
+            att[name]["lora_a"] = A("layers", "embed", None)
+            att[name]["lora_b"] = A("layers", None, "heads")
+        att["wo"]["lora_a"] = A("layers", "heads", None)
+        att["wo"]["lora_b"] = A("layers", None, "embed")
+    if args.bias_tuning:
+        for name in ("wq", "wk", "wv"):
+            att[name]["bias"] = A("layers", "heads")
+        att["wo"]["bias"] = A("layers", None)
+    return axes
 
 
 def init_kv_cache(args: MixtralArgs, batch: int, max_len: Optional[int] = None,
@@ -118,9 +167,9 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
     att = layer["attention"]
 
     x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
-    q = linear(x, att["wq"]["weight"]).reshape(b, sq, nq, hd)
-    k = linear(x, att["wk"]["weight"]).reshape(b, sq, nkv, hd)
-    v = linear(x, att["wv"]["weight"]).reshape(b, sq, nkv, hd)
+    q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
+    k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
+    v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
     q = apply_rope(q, cos, sin, args.rope_style)
     k = apply_rope(k, cos, sin, args.rope_style)
 
@@ -134,7 +183,7 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
-    h = h + linear(out.reshape(b, sq, nq * hd), att["wo"]["weight"])
+    h = h + module_linear(out.reshape(b, sq, nq * hd), att["wo"])
 
     x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
     ff = layer["feed_forward"]
@@ -218,4 +267,85 @@ def forward(
     logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
     if with_aux_loss:
         return logits, new_cache, aux_total
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# paged decode path (BASELINE config 3: Mixtral W4 top-2 MoE decode)
+# ---------------------------------------------------------------------------
+
+def init_paged_cache(args: MixtralArgs, slots: int, total_pages: int,
+                     page_size: int = 64, pages_per_seq: Optional[int] = None,
+                     dtype=None):
+    from accessory_tpu.engine.kvcache import init_paged_cache as _init
+
+    pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
+    return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
+                 page_size, slots, pages_per_seq,
+                 dtype=dtype or jnp.dtype(args.dtype))
+
+
+def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
+                  pcache, moe_impl: str = "ragged"):
+    """Paged-cache forward, same contract as llama.forward_paged."""
+    import dataclasses
+
+    from accessory_tpu.engine.kvcache import (
+        paged_attention_decode, write_tokens)
+    from accessory_tpu.ops.attention import attention as dense_attention
+
+    b, sq = tokens.shape
+    hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
+    h = jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0)
+
+    max_pos = pcache.pages_per_seq * pcache.page_size
+    cos_full, sin_full = precompute_rope(
+        hd, max_pos, args.rope_theta, args.rope_scaling)
+    decode = sq == 1
+    if decode:
+        pos = pcache.lengths
+        cos = jnp.take(cos_full, pos, axis=0)[:, None, :]
+        sin = jnp.take(sin_full, pos, axis=0)[:, None, :]
+        start = pos
+    else:
+        cos, sin = cos_full[:sq], sin_full[:sq]
+        start = jnp.zeros((b,), jnp.int32)
+
+    page_indices = pcache.page_indices
+    new_lengths = pcache.lengths + sq
+
+    def body(h, xs):
+        layer, kp, vp = xs
+        att = layer["attention"]
+        x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
+        q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
+        k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
+        v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
+        q = apply_rope(q, cos, sin, args.rope_style)
+        k = apply_rope(k, cos, sin, args.rope_style)
+
+        kp, vp = write_tokens(kp, vp, k, v, page_indices, start)
+        if decode:
+            out = paged_attention_decode(
+                q[:, 0], kp, vp, new_lengths, page_indices)[:, None]
+        else:
+            out = dense_attention(q, k, v, causal=True, q_offset=0)
+
+        h = h + module_linear(out.reshape(b, sq, nq * hd), att["wo"])
+        x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
+        ff = layer["feed_forward"]
+        y, _ = moe_ffn(
+            x.reshape(b * sq, args.dim), ff["gate"]["weight"],
+            ff["w1"]["weight"], ff["w3"]["weight"], ff["w2"]["weight"],
+            k=args.num_experts_per_tok, impl=moe_impl)
+        h = h + y.reshape(b, sq, args.dim)
+        return h, (kp, vp)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
+
+    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
+    logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    new_cache = dataclasses.replace(
+        pcache, k_pages=new_k, v_pages=new_v, lengths=new_lengths)
     return logits, new_cache

@@ -74,3 +74,33 @@ def make_optimizer(
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
     return tx
+
+
+def scale_lr_by_prefix(params, lr_scales):
+    """Per-group LR scaling keyed on param-path prefixes.
+
+    Reference: accessory/util/param_group.py — layer-wise LR decay for the
+    visual-encoder groups (each group's lr multiplied by ``lr_scale``).
+    Chain AFTER the optimizer: optax.chain(tx, scale_lr_by_prefix(...)).
+    lr_scales: {path_prefix: scale}; longest matching prefix wins, default 1.
+    """
+    import optax
+
+    prefixes = sorted(lr_scales, key=len, reverse=True)
+
+    def scale_of(path) -> float:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        for pre in prefixes:
+            if name.startswith(pre):
+                return float(lr_scales[pre])
+        return 1.0
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda path, u: u * scale_of(path), updates)
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

