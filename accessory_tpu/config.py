@@ -210,14 +210,10 @@ class AdapterArgs(LLaMAArgs):
 
 
 @dataclass
-class SphinxArgs(LLaMAArgs):
-    """SPHINX multimodal (llama_ens family). Reference:
-    accessory/model/LLM/llama_ens.py:278-339 (visual ensemble + image_words),
-    llama_ens5.py (448px 5-crop), llama_ens_light.py (light towers).
-
-    Tower dimensions default to the production SPHINX ensemble; tests shrink
-    them. ``visual``: "ens" | "ens5" | "ens_light" | "ens5_light".
-    """
+class _VisualTowerFields:
+    """SPHINX visual-ensemble configuration, shared by the dense (llama_ens)
+    and MoE (mixtral_sparse_ens) hosts. Tower dimensions default to the
+    production ensemble; tests shrink them."""
 
     visual: str = "ens"
     image_size: int = 224  # 448 for ens5 variants
@@ -241,6 +237,21 @@ class SphinxArgs(LLaMAArgs):
     qformer_heads: int = 12
 
 
+@dataclass
+class SphinxArgs(_VisualTowerFields, LLaMAArgs):
+    """SPHINX multimodal (llama_ens family). Reference:
+    accessory/model/LLM/llama_ens.py:278-339 (visual ensemble + image_words),
+    llama_ens5.py (448px 5-crop), llama_ens_light.py (light towers).
+    ``visual``: "ens" | "ens5" | "ens_light" | "ens5_light"."""
+
+
+@dataclass
+class SphinxMoEArgs(_VisualTowerFields, MixtralArgs):
+    """SPHINX-MoE (mixtral_sparse_ens family). Reference:
+    accessory/model/LLM/mixtral_sparse_ens.py (sparse MoE decoder + SPHINX
+    visual ensemble, 512px) and mixtral_sparse_ens5.py (5-crop, 1024px)."""
+
+
 ARGS_REGISTRY: Dict[str, Any] = {
     "llama": LLaMAArgs,
     "llama_peft": LLaMAArgs,
@@ -259,6 +270,8 @@ ARGS_REGISTRY: Dict[str, Any] = {
     "llama_ens_peft": SphinxArgs,
     "llama_ens_light": SphinxArgs,
     "llama_ens5_light": SphinxArgs,
+    "mixtral_sparse_ens": SphinxMoEArgs,
+    "mixtral_sparse_ens5": SphinxMoEArgs,
 }
 
 
@@ -267,4 +280,5 @@ def _sphinx_visual_for(llama_type: str) -> str:
         "llama_ens": "ens", "llama_ens5": "ens5", "llama_ens5p2": "ens5",
         "llama_ens10": "ens5", "llama_ens_peft": "ens",
         "llama_ens_light": "ens_light", "llama_ens5_light": "ens5_light",
+        "mixtral_sparse_ens": "ens", "mixtral_sparse_ens5": "ens5",
     }[llama_type]

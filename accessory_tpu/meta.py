@@ -53,9 +53,10 @@ class MetaModel:
         overrides: Dict[str, Any] = {"max_seq_len": max_seq_len}
         if vocab is not None:
             overrides["vocab_size"] = vocab
-        from accessory_tpu.config import SphinxArgs, _sphinx_visual_for
+        from accessory_tpu.config import (
+            SphinxArgs, SphinxMoEArgs, _sphinx_visual_for)
 
-        if args_cls is SphinxArgs:
+        if args_cls in (SphinxArgs, SphinxMoEArgs):
             overrides.setdefault("visual", _sphinx_visual_for(llama_type))
             with_visual = True
         self.args = make_args(args_cls, llama_config, **overrides)

@@ -33,6 +33,8 @@ _FAMILY_BY_TYPE = {
     "llama_ens_peft": "sphinx",
     "llama_ens_light": "sphinx",
     "llama_ens5_light": "sphinx",
+    "mixtral_sparse_ens": "sphinx_moe",
+    "mixtral_sparse_ens5": "sphinx_moe",
 }
 
 

@@ -216,9 +216,10 @@ def forward(
     load-balancing loss (reference drains MoE.LOAD_BALANCING_LOSSES in
     Transformer.forward, mixtral_sparse.py:607-631) as third output.
     """
-    b, sq = tokens.shape
+    b = tokens.shape[0]
     h = embeds if embeds is not None else (
         jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
+    sq = h.shape[1]  # embeds may be longer than tokens (multimodal splice)
 
     max_rope = (cache["k"].shape[2] if cache is not None else sq)
     cos_full, sin_full = precompute_rope(

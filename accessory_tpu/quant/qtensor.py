@@ -104,12 +104,24 @@ def quantize_weight(
     bits: int = 4,
     group_size: int = 128,
     act_dtype=jnp.bfloat16,
+    pad_in_to: Optional[int] = None,
 ) -> QuantizedWeight:
     """Asymmetric min/max group quantization of an (in_dim, out_dim) weight.
 
+    ``pad_in_to``: zero-pad the reduction dim to this multiple before
+    quantizing. Odd in-dims (e.g. LLaMA-7B's 11008) otherwise force tiny
+    K-tiles in the fused kernel (the largest 128-multiple divisor of 11008
+    is 256 → 344 kernel programs per matmul); padding to 1024 costs 2.3%
+    extra weight bytes and keeps big tiles. ``quant_matmul`` zero-pads the
+    activations to match, so results are exact.
+
     (OmniQuant checkpoints instead provide learned scales/zeros; see
-    checkpoint/omniquant_import — this function is the RTN fallback.)
+    quant/omniquant.py — this function is the RTN fallback.)
     """
+    if pad_in_to:
+        pad = (-w.shape[0]) % pad_in_to
+        if pad:
+            w = jnp.pad(w, ((0, pad), (0, 0)))
     in_dim, out_dim = w.shape
     assert in_dim % group_size == 0, (in_dim, group_size)
     wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out_dim)
@@ -176,6 +188,11 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
     prologue reasonably well, but the Pallas kernel keeps packed words in VMEM
     and hits HBM at the 4-bit footprint (the point of W4A16 decode).
     """
+    # activations zero-pad to a padded reduction dim (see quantize_weight)
+    if x.shape[-1] < qw.in_dim:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, qw.in_dim - x.shape[-1])]
+        x = jnp.pad(x, pad)
+
     if qw.layout == "magic":
         from accessory_tpu.ops.quant_matmul_magic import magic_qmm
 

@@ -63,15 +63,33 @@ def quantize_params(
             return leaf
         if not jnp.issubdtype(leaf.dtype, jnp.floating):
             return leaf
+        # pad odd reduction dims to keep the fused kernel's K-tiles big
+        # (see quantize_weight pad_in_to)
+        def pad_to(in_dim):
+            return 1024 if in_dim >= 1024 else group_size
+
         if leaf.ndim == 2 and leaf.shape[0] % group_size == 0:
             return quantize_weight(leaf, bits=bits, group_size=group_size,
-                                   act_dtype=leaf.dtype)
+                                   act_dtype=leaf.dtype,
+                                   pad_in_to=pad_to(leaf.shape[0]))
         if leaf.ndim == 3 and leaf.shape[1] % group_size == 0:
             # stacked layers (L, in, out): quantize each layer, stack pytrees
             qws = [quantize_weight(leaf[i], bits=bits, group_size=group_size,
-                                   act_dtype=leaf.dtype)
+                                   act_dtype=leaf.dtype,
+                                   pad_in_to=pad_to(leaf.shape[1]))
                    for i in range(leaf.shape[0])]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *qws)
+        if leaf.ndim == 4 and leaf.shape[2] % group_size == 0:
+            # stacked MoE experts (L, E, in, out)
+            qls = []
+            for l in range(leaf.shape[0]):
+                qes = [quantize_weight(leaf[l, e], bits=bits,
+                                       group_size=group_size,
+                                       act_dtype=leaf.dtype,
+                                       pad_in_to=pad_to(leaf.shape[2]))
+                       for e in range(leaf.shape[1])]
+                qls.append(jax.tree.map(lambda *xs: jnp.stack(xs), *qes))
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *qls)
         return leaf
 
     return jax.tree_util.tree_map_with_path(visit, params)

@@ -60,14 +60,54 @@ def weight_bytes(tree):
     return total
 
 
+def random_qweight(key, shape, group_size=128, stacked=True):
+    """Synthetic W4 weight with random packed data — avoids materializing
+    the full bf16 tensor (a 7B bf16 init + quantize OOMs the 16GB chip)."""
+    from accessory_tpu.quant.qtensor import QuantizedWeight
+
+    *lead, k, n = shape
+    k = k + ((-k) % 1024 if k >= 1024 else (-k) % group_size)  # kernel pad
+    ks = jax.random.split(key, 3)
+    packed = jax.random.bits(ks[0], (*lead, k // 8, n), jnp.uint32)
+    scales = jax.random.uniform(ks[1], (*lead, k // group_size, n),
+                                jnp.float32, 1e-3, 2e-3)
+    zeros = jnp.round(jax.random.uniform(ks[2], (*lead, k // group_size, n),
+                                         jnp.float32, 0, 15))
+    return QuantizedWeight(packed=packed, scales=scales, zeros=zeros, bits=4,
+                           group_size=group_size, in_dim=k, out_dim=n)
+
+
+def synthetic_quantized_params(init_fn, key, group_size=128):
+    """Build the params tree directly from SHAPES, creating synthetic W4
+    leaves in place of eligible weights — peak memory stays at the quantized
+    footprint (never materializes the dense bf16 model)."""
+    from accessory_tpu.quant.quantize import DEFAULT_BLOCKLIST, _path_str
+
+    shapes = jax.eval_shape(init_fn)
+
+    def visit(path, s):
+        name = _path_str(path)
+        kk = jax.random.fold_in(key, hash(name) % (1 << 30))
+        quantizable = (
+            not any(b in name for b in tuple(DEFAULT_BLOCKLIST) + ("output",))
+            and jnp.issubdtype(s.dtype, jnp.floating)
+            and ((s.ndim == 3 and s.shape[1] % group_size == 0)
+                 or (s.ndim == 4 and s.shape[2] % group_size == 0)))
+        if quantizable:
+            return random_qweight(kk, s.shape, group_size)
+        return (jax.random.normal(kk, s.shape, jnp.float32) * 0.02).astype(s.dtype)
+
+    return jax.tree_util.tree_map_with_path(visit, shapes)
+
+
 def bench_llama_decode(name, args_kw, batch=8, cache_len=1024):
     from accessory_tpu.config import LLaMAArgs
     from accessory_tpu.models import llama
-    from accessory_tpu.quant import quantize_params
 
     args = LLaMAArgs(max_seq_len=cache_len, dtype="bfloat16", **args_kw)
-    params = quantize_params(
-        llama.init_params(jax.random.PRNGKey(0), args), bits=4, group_size=128)
+    params = synthetic_quantized_params(
+        lambda: llama.init_params(jax.random.PRNGKey(0), args),
+        jax.random.PRNGKey(0))
     cache = llama.init_kv_cache(args, batch, max_len=cache_len)
     step = jax.jit(lambda p, t, c, pos: llama.forward(
         p, args, t, cache=c, cur_pos=pos), donate_argnums=(2,))
@@ -90,9 +130,9 @@ def bench_moe_decode(batch=8, cache_len=512):
                        hidden_dim=14336, vocab_size=32000, num_experts=4,
                        num_experts_per_tok=2, max_seq_len=cache_len,
                        dtype="bfloat16")
-    params = mixtral.init_params(jax.random.PRNGKey(0), args)
-    params = quantize_params(params, bits=4, group_size=128,
-                             blocklist=DEFAULT_BLOCKLIST)
+    params = synthetic_quantized_params(
+        lambda: mixtral.init_params(jax.random.PRNGKey(0), args),
+        jax.random.PRNGKey(0))
     cache = mixtral.init_kv_cache(args, batch, max_len=cache_len)
     step = jax.jit(lambda p, t, c, pos: mixtral.forward(
         p, args, t, cache=c, cur_pos=pos, moe_impl="ragged"),

@@ -74,3 +74,22 @@ def test_llama70b_sharded_lowering():
         shapes, jax.ShapeDtypeStruct((2, 16), jnp.int32), cache_shape)
     hlo = lowered.as_text()
     assert "sharding" in hlo  # GSPMD annotations survived
+
+
+def test_mixtral_quantized_experts_forward():
+    from accessory_tpu.quant import DEFAULT_BLOCKLIST, quantize_params
+
+    args = MixtralArgs(**TINY, dtype="float32") if "dtype" not in TINY else \
+        MixtralArgs(**TINY)
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    qp = quantize_params(params, bits=4, group_size=16)
+    # expert weights got the 4-D path
+    assert hasattr(qp["layers"]["feed_forward"]["w1"]["weight"], "packed")
+    assert qp["layers"]["feed_forward"]["w1"]["weight"].packed.ndim == 4
+
+    toks = jnp.arange(8)[None] % 96
+    ref, _ = mixtral.forward(params, args, toks)
+    out, _ = mixtral.forward(qp, args, toks)
+    # quantization error only: correlation of logits stays high
+    r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(out).ravel())[0, 1]
+    assert r > 0.98, r

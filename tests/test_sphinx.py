@@ -120,3 +120,39 @@ def test_metamodel_generate_with_image(tmp_path):
     # same prompts without image take a different path and still work
     outs2 = m.generate(["the quick", "brown fox"], max_gen_len=4)
     assert len(outs2) == 2
+
+
+def test_sphinx_moe_forward():
+    from accessory_tpu.config import SphinxMoEArgs
+    from accessory_tpu.models import sphinx_moe
+
+    args = SphinxMoEArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, hidden_dim=96,
+        vocab_size=96, num_experts=4, max_seq_len=640, dtype="float32",
+        visual="ens_light", vit_patch=56, clip_width=32, clip_layers=2,
+        clip_heads=2, dino_width=48, dino_layers=2, dino_heads=2,
+        convnext_depths=(1, 1, 1, 1), convnext_dims=(8, 16, 32, 64),
+        qformer_width=32, qformer_layers=2, qformer_heads=2)
+    params = sphinx_moe.init_params(jax.random.PRNGKey(0), args)
+    assert "visual" in params and "gate" in params["layers"]["feed_forward"]
+
+    b, s = 2, 6
+    toks = jax.random.randint(jax.random.PRNGKey(1), (b, s), 0, 96)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (b, 3, 224, 224))
+    logits, _ = sphinx_moe.forward(params, args, toks, images=imgs)
+    assert logits.shape == (b, s, 96)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # cached multimodal prefill + decode step agree with the full forward
+    n_img = sphinx_moe.image_words(args)
+    cache = sphinx_moe.init_kv_cache(args, b, max_len=s + n_img + 4)
+    img_toks = sphinx_moe.encode_image(params, args, imgs)
+    tok_emb = jnp.take(params["tok_embeddings"]["weight"], toks, axis=0)
+    emb = jnp.concatenate([tok_emb[:, :1], img_toks, tok_emb[:, 1:]], axis=1)
+    lp, cache = sphinx_moe.forward(params, args, toks, cache=cache,
+                                   cur_pos=0, embeds=emb)
+    np.testing.assert_allclose(np.asarray(lp[:, n_img:]), np.asarray(logits),
+                               rtol=4e-4, atol=4e-4)
+
+    block = sphinx_moe.get_quant_blocklist(args)
+    assert "visual" in block and "gate" in block
