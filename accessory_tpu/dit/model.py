@@ -35,6 +35,9 @@ class DiTArgs:
     learn_sigma: bool = True
     multiple_of: int = 256
     dtype: str = "float32"
+    # T2I conditioning (Large-DiT-T2I): caption features (e.g. T5/CLIP text
+    # encoder outputs) projected into the adaLN conditioning vector
+    cap_feat_dim: int = 0  # 0 = class-conditional only
 
     @property
     def n_patches(self) -> int:
@@ -80,6 +83,12 @@ def init_dit(key: jax.Array, args: DiTArgs) -> Params:
         },
         # +1 class slot = CFG null label (reference LabelEmbedder)
         "y_embed": {"weight": dense(ks[4], (args.num_classes + 1, d), 0.02)},
+        **({"cap_embed": {
+            "fc1": {"weight": dense(ks[10], (args.cap_feat_dim, d)),
+                    "bias": jnp.zeros((d,), dtype)},
+            "fc2": {"weight": dense(ks[11], (d, d)),
+                    "bias": jnp.zeros((d,), dtype)},
+        }} if args.cap_feat_dim else {}),
         "layers": {
             "attn_norm": {"weight": jnp.ones((L, d), dtype)},
             "ffn_norm": {"weight": jnp.ones((L, d), dtype)},
@@ -140,6 +149,7 @@ def dit_forward(
     x: jnp.ndarray,           # (b, C, H, W) noisy latents
     t: jnp.ndarray,           # (b,) diffusion timesteps
     y: jnp.ndarray,           # (b,) class labels (num_classes = CFG null)
+    cap_feats: Optional[jnp.ndarray] = None,  # (b, T, cap_dim) T2I captions
 ) -> jnp.ndarray:
     """Returns (b, out_channels, H, W)."""
     b = x.shape[0]
@@ -161,7 +171,16 @@ def dit_forward(
                      + params["t_embed"]["fc1"]["bias"])
     te = jnp.dot(te, params["t_embed"]["fc2"]["weight"]) + params["t_embed"]["fc2"]["bias"]
     ye = jnp.take(params["y_embed"]["weight"], y, axis=0)
-    c = jax.nn.silu(te + ye)
+    cond = te + ye
+    if cap_feats is not None and "cap_embed" in params:
+        # T2I: project caption features and mean-pool into the global
+        # conditioning vector (Large-DiT-T2I CaptionEmbedder role)
+        ce = params["cap_embed"]
+        cf = jax.nn.silu(jnp.dot(cap_feats.astype(cond.dtype),
+                                 ce["fc1"]["weight"]) + ce["fc1"]["bias"])
+        cf = jnp.dot(cf, ce["fc2"]["weight"]) + ce["fc2"]["bias"]
+        cond = cond + jnp.mean(cf, axis=1)
+    c = jax.nn.silu(cond)
 
     def body(h, layer):
         mod = jnp.dot(c, layer["ada"]["weight"]) + layer["ada"]["bias"]

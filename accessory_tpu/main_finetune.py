@@ -176,15 +176,20 @@ def main(args):
 
     def batches(epoch):
         sampler.set_epoch(epoch, start_iter if epoch == start_epoch else 0)
-        buf_x, buf_y = [], []
+        buf_x, buf_y, buf_img = [], [], []
         per_step = args.batch_size * args.accum_iter
         for idx in iter(sampler):
             item = dataset[idx]
             buf_x.append(item[0])
             buf_y.append(item[1])
+            if len(item) > 3:  # multimodal item carries an image
+                buf_img.append(item[3])
             if len(buf_x) == per_step:
-                yield {"examples": np.stack(buf_x), "labels": np.stack(buf_y)}
-                buf_x, buf_y = [], []
+                out = {"examples": np.stack(buf_x), "labels": np.stack(buf_y)}
+                if buf_img:
+                    out["images"] = np.stack(buf_img)
+                yield out
+                buf_x, buf_y, buf_img = [], [], []
 
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()

@@ -83,25 +83,30 @@ def make_train_step(
     scanned (grad-accum without extra memory).
     """
 
-    def loss_fn(params, examples, labels):
+    def loss_fn(params, examples, labels, images=None):
+        kwargs = {}
+        if images is not None:
+            kwargs["images"] = images  # multimodal families (sphinx*)
         if moe_aux:
             logits, _, aux = module.forward(
-                params, args, examples, remat=remat, with_aux_loss=True)
+                params, args, examples, remat=remat, with_aux_loss=True,
+                **kwargs)
         else:
-            logits, _ = module.forward(params, args, examples, remat=remat)
+            logits, _ = module.forward(params, args, examples, remat=remat,
+                                       **kwargs)
             aux = 0.0
         c_loss, n_tok = cross_entropy_loss(logits, labels, ignore_index)
         return c_loss + aux, (c_loss, aux, n_tok)
 
-    def diff_loss_fn(diff, static, examples, labels):
-        return loss_fn(combine_params(diff, static), examples, labels)
+    def diff_loss_fn(diff, static, examples, labels, images=None):
+        return loss_fn(combine_params(diff, static), examples, labels, images)
 
     grad_fn = jax.value_and_grad(diff_loss_fn, has_aux=True)
 
     def one_micro(params, mb):
         diff, static = partition_params(params)
         (loss, (c_loss, aux, n_tok)), gdiff = grad_fn(
-            diff, static, mb["examples"], mb["labels"])
+            diff, static, mb["examples"], mb["labels"], mb.get("images"))
         # static leaves get zero placeholder "grads" (their optimizer label
         # is "frozen"/set_to_zero) so global-norm clipping sees only real ones
         grads = combine_params(gdiff, jax.tree.map(jnp.zeros_like, static))

@@ -112,3 +112,27 @@ def test_train_cli_smoke(tmp_path):
     import os
 
     assert os.path.isdir(tmp_path / "out" / "iter2")
+
+
+def test_t2i_caption_conditioning():
+    args = DiTArgs(input_size=8, patch_size=2, in_channels=4, dim=64,
+                   n_layers=2, n_heads=4, num_classes=10, multiple_of=32,
+                   cap_feat_dim=48)
+    params = init_dit(jax.random.PRNGKey(0), args)
+    assert "cap_embed" in params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8))
+    t = jnp.array([10, 20])
+    y = jnp.array([10, 10])  # null labels: caption-only conditioning
+    caps = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 48))
+    a = dit_forward(params, args, x, t, y, cap_feats=caps)
+    b = dit_forward(params, args, x, t, y)
+    assert a.shape == b.shape == (2, 8, 8, 8)
+    # init is adaLN-zero so both are zero; open the final modulation + head
+    # so the conditioning vector (and thus the caption) reaches the output
+    params["final"]["linear"]["weight"] = (
+        jnp.ones_like(params["final"]["linear"]["weight"]) * 0.01)
+    params["final"]["ada"]["weight"] = (
+        jnp.ones_like(params["final"]["ada"]["weight"]) * 0.01)
+    a = dit_forward(params, args, x, t, y, cap_feats=caps)
+    b = dit_forward(params, args, x, t, y)
+    assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -156,3 +156,27 @@ def test_sphinx_moe_forward():
 
     block = sphinx_moe.get_quant_blocklist(args)
     assert "visual" in block and "gate" in block
+
+
+def test_sphinx_multimodal_train_step():
+    from accessory_tpu.train import TrainState, make_optimizer, make_train_step
+
+    args = SphinxArgs(**{**TINY, "max_seq_len": 64}, visual="ens_light")
+    params = sphinx.init_params(jax.random.PRNGKey(0), args)
+    trainable = sphinx.get_trainable_params_filter(args)
+    tx = make_optimizer(params, 1e-3, trainable=trainable)
+    step = jax.jit(make_train_step(sphinx, args, tx, remat=False))
+    state = TrainState.create(params, tx)
+    n_img = sphinx.image_words(args)
+    s = 8
+    batch = {
+        "examples": jnp.ones((2, s), jnp.int32) * 3,
+        "labels": jnp.ones((2, s), jnp.int32) * 5,
+        "images": jax.random.normal(jax.random.PRNGKey(1), (2, 3, 224, 224)),
+    }
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["c_loss"]))
+    # frozen visual towers unchanged
+    np.testing.assert_array_equal(
+        np.asarray(state.params["visual"]["dinov2"]["pos_embed"]),
+        np.asarray(params["visual"]["dinov2"]["pos_embed"]))
