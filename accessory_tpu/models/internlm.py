@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from accessory_tpu.config import InternLMArgs
-from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.attention import attention, cached_attention
 from accessory_tpu.ops.linear import linear
 from accessory_tpu.ops.norms import layer_norm, rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -136,12 +136,8 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
     k = apply_rope(k, cos, sin, "half")
 
     if cache_k is not None:
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, q_offset, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, q_offset, 0, 0))
-        out = attention(q, cache_k, cache_v, causal=True,
-                        q_offset=q_offset, kv_len=kv_len)
+        # read-only cache + two-part softmax (ops.attention.cached_attention)
+        out = cached_attention(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -155,7 +151,7 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
     else:
         inner = jax.nn.gelu(linear(x, mlp["w1"]["weight"]))
     h = h + linear(inner, mlp["w3"]["weight"])
-    return h, cache_k, cache_v
+    return h, k, v
 
 
 def forward(
@@ -192,12 +188,20 @@ def forward(
     if cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
-            h, ck, cv = block(h, layer, args, cos, sin, cur_pos, kv_len, ck, cv)
-            return h, (ck, cv)
+            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
+                                    kv_len, ck, cv)
+            return h, (k_new, v_new)
 
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {"k": new_k, "v": new_v}
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], new_k.astype(cache["k"].dtype),
+                (0, 0, cur_pos, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], new_v.astype(cache["v"].dtype),
+                (0, 0, cur_pos, 0, 0)),
+        }
     else:
         def body(h, layer):
             h, _, _ = block(h, layer, args, cos, sin, 0, None)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from accessory_tpu.config import LLaMAArgs
-from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.attention import attention, cached_attention
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -217,13 +217,10 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     k = apply_rope(k, cos, sin, args.rope_style)
 
     if cache_k is not None:
-        # write new kv at [q_offset, q_offset+sq), attend over whole cache
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, q_offset, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, q_offset, 0, 0))
-        out = attention(q, cache_k, cache_v, causal=True,
-                        q_offset=q_offset, kv_len=kv_len)
+        # READ-ONLY cache + two-part softmax; the caller writes k/v into the
+        # cache once, outside the layer scan (see ops.attention
+        # cached_attention for why: scan-carried caches copy every layer)
+        out = cached_attention(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -233,7 +230,7 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     ff = layer["feed_forward"]
     gate = jax.nn.silu(module_linear(x, ff["w1"]))
     h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
-    return h, cache_k, cache_v
+    return h, k, v
 
 
 def forward(
@@ -282,12 +279,21 @@ def forward(
     if cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
-            h, ck, cv = block(h, layer, args, cos, sin, cur_pos, kv_len, ck, cv)
-            return h, (ck, cv)
+            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
+                                    kv_len, ck, cv)
+            return h, (k_new, v_new)
 
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {"k": new_k, "v": new_v}
+        # single bulk write of all layers' new kv (in-place with donation)
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], new_k.astype(cache["k"].dtype),
+                (0, 0, cur_pos, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], new_v.astype(cache["v"].dtype),
+                (0, 0, cur_pos, 0, 0)),
+        }
     else:
         def body(h, layer):
             h, _, _ = block(h, layer, args, cos, sin, 0, None)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import AdapterArgs, LLaMAArgs
 from accessory_tpu.models import llama
-from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.attention import attention, cached_attention
 from accessory_tpu.ops.linear import module_linear
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -111,12 +111,8 @@ def forward(
         k = apply_rope(k, cos, sin, args.rope_style)
 
         if ck is not None:
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.astype(ck.dtype), (0, cur_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.astype(cv.dtype), (0, cur_pos, 0, 0))
-            out = attention(q, ck, cv, causal=True, q_offset=cur_pos,
-                            kv_len=kv_len)
+            # read-only cache + two-part softmax (ops.attention)
+            out = cached_attention(q, k, v, ck, cv, cur_pos)
         else:
             out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -133,7 +129,7 @@ def forward(
         ff = layer["feed_forward"]
         gatev = jax.nn.silu(module_linear(x, ff["w1"]))
         h = h + module_linear(gatev * module_linear(x, ff["w3"]), ff["w2"])
-        return h, ck, cv
+        return h, k, v
 
     if remat:
         block = jax.checkpoint(
@@ -143,13 +139,18 @@ def forward(
     if cache is not None:
         def body(h, xs):
             layer, prefix, gate, pm, ck, cv = xs
-            h, ck, cv = block(h, layer, prefix, gate, pm, ck, cv)
-            return h, (ck, cv)
+            h, k_new, v_new = block(h, layer, prefix, gate, pm, ck, cv)
+            return h, (k_new, v_new)
 
         h, (nk, nv) = jax.lax.scan(
             body, h, (params["layers"], ad["prefix"], ad["gate"], pmask,
                       cache["k"], cache["v"]))
-        new_cache = {"k": nk, "v": nv}
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], nk.astype(cache["k"].dtype), (0, 0, cur_pos, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], nv.astype(cache["v"].dtype), (0, 0, cur_pos, 0, 0)),
+        }
     else:
         def body(h, xs):
             layer, prefix, gate, pm = xs

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from accessory_tpu.config import MixtralArgs
-from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.attention import attention, cached_attention
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
 from accessory_tpu.ops.norms import rms_norm
@@ -174,12 +174,8 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
     k = apply_rope(k, cos, sin, args.rope_style)
 
     if cache_k is not None:
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.astype(cache_k.dtype), (0, q_offset, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.astype(cache_v.dtype), (0, q_offset, 0, 0))
-        out = attention(q, cache_k, cache_v, causal=True,
-                        q_offset=q_offset, kv_len=kv_len)
+        # read-only cache + two-part softmax (see ops.attention.cached_attention)
+        out = cached_attention(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -195,7 +191,7 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
         impl=moe_impl,
     )
     h = h + y.reshape(b, sq, args.dim)
-    return h, cache_k, cache_v, aux
+    return h, k, v, aux
 
 
 def forward(
@@ -243,13 +239,20 @@ def forward(
     if cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
-            h, ck, cv, _ = block(h, layer, args, cos, sin, cur_pos, kv_len,
-                                 ck, cv, moe_impl, False)
-            return h, (ck, cv)
+            h, k_new, v_new, _ = block(h, layer, args, cos, sin, cur_pos,
+                                       kv_len, ck, cv, moe_impl, False)
+            return h, (k_new, v_new)
 
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {"k": new_k, "v": new_v}
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], new_k.astype(cache["k"].dtype),
+                (0, 0, cur_pos, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], new_v.astype(cache["v"].dtype),
+                (0, 0, cur_pos, 0, 0)),
+        }
         aux_total = None
     else:
         def body(carry, layer):

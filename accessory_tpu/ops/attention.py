@@ -97,3 +97,52 @@ def attention(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(b, sq, nq, hd).astype(q.dtype)
+
+
+def cached_attention(
+    q: jnp.ndarray,       # (b, sq, nq, hd) — the new chunk's queries
+    k_new: jnp.ndarray,   # (b, sq, nkv, hd) — new keys (not yet in cache)
+    v_new: jnp.ndarray,
+    cache_k: jnp.ndarray,  # (b, S, nkv, hd) — cache BEFORE this chunk
+    cache_v: jnp.ndarray,
+    pos,                   # scalar: number of valid tokens already cached
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Decode/prefill attention WITHOUT writing the cache first.
+
+    Equivalent to writing k_new/v_new at [pos, pos+sq) and attending over
+    cache[:pos+sq], but computed as a two-part softmax:
+      scores = [q·K_old (masked < pos) ; q·k_new (causal within chunk)]
+    so the cache stays a READ-ONLY input. This matters under lax.scan: a
+    cache carried through scan outputs is materialized fresh every layer
+    (measured 6x decode slowdown at 7B-MHA scale); read-only xs are sliced
+    without copies, and the model does ONE bulk cache write per step outside
+    the scan.
+    """
+    b, sq, nq, hd = q.shape
+    skv = cache_k.shape[1]
+    nkv = cache_k.shape[2]
+    n_rep = nq // nkv
+    if scale is None:
+        scale = hd ** -0.5
+
+    qg = q.reshape(b, sq, nkv, n_rep, hd)
+    s_old = jnp.einsum("bqkrh,bskh->bkrqs", qg, cache_k,
+                       preferred_element_type=jnp.float32) * scale
+    old_mask = jnp.arange(skv)[None, :] < jnp.asarray(pos)[None]  # (1, skv)
+    s_old = jnp.where(old_mask[:, None, None, None, :], s_old, NEG_INF)
+
+    s_new = jnp.einsum("bqkrh,bskh->bkrqs", qg, k_new,
+                       preferred_element_type=jnp.float32) * scale
+    # causal[q_i, k_j] = new key j visible to new query i iff j <= i
+    causal = jnp.arange(sq)[None, :] <= jnp.arange(sq)[:, None]  # (sq_q, sq_k)
+    s_new = jnp.where(causal[None, None, None, :, :], s_new, NEG_INF)
+
+    scores = jnp.concatenate([s_old, s_new], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    p_old, p_new = probs[..., :skv], probs[..., skv:]
+    out = jnp.einsum("bkrqs,bskh->bqkrh", p_old.astype(cache_v.dtype), cache_v,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bkrqs,bskh->bqkrh", p_new.astype(v_new.dtype),
+                           v_new, preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, nq, hd).astype(q.dtype)
