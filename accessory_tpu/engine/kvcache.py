@@ -92,6 +92,28 @@ def write_tokens(
     return k_pages, v_pages
 
 
+def write_tokens_all_layers(
+    k_pages: jnp.ndarray,  # (L, n_kv, P, ps, hd)
+    v_pages: jnp.ndarray,
+    k_new: jnp.ndarray,  # (L, b, s, n_kv, hd)
+    v_new: jnp.ndarray,
+    page_indices: jnp.ndarray,  # (b, pages_per_seq)
+    start_pos: jnp.ndarray,  # (b,)
+):
+    """One bulk scatter of every layer's new tokens into the pools —
+    replaces per-layer writes inside the scan (which copy the whole pool)."""
+    L, b, s, n_kv, hd = k_new.shape
+    ps = k_pages.shape[3]
+    pos = start_pos[:, None] + jnp.arange(s)[None, :]  # (b, s)
+    page = jnp.take_along_axis(page_indices, pos // ps, axis=1).reshape(-1)
+    slot = (pos % ps).reshape(-1)
+    kn = k_new.transpose(0, 3, 1, 2, 4).reshape(L, n_kv, b * s, hd)
+    vn = v_new.transpose(0, 3, 1, 2, 4).reshape(L, n_kv, b * s, hd)
+    k_pages = k_pages.at[:, :, page, slot, :].set(kn.astype(k_pages.dtype))
+    v_pages = v_pages.at[:, :, page, slot, :].set(vn.astype(v_pages.dtype))
+    return k_pages, v_pages
+
+
 def paged_attention_xla(
     q: jnp.ndarray,  # (b, nq, hd) — single decode token per slot
     k_pages: jnp.ndarray,  # (n_kv, P, ps, hd)
@@ -121,6 +143,36 @@ def paged_attention_xla(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkrs,bskh->bkrh", probs, v.astype(jnp.float32))
     return out.reshape(b, nq, hd).astype(q.dtype)
+
+
+def gather_pages(k_pages, v_pages, page_indices):
+    """Dense (b, max_ctx, n_kv, hd) views of each slot's pages."""
+    n_kv, _, ps, hd = k_pages.shape
+    b, pages_per_seq = page_indices.shape
+    max_ctx = pages_per_seq * ps
+    k = k_pages[:, page_indices].transpose(1, 2, 3, 0, 4).reshape(
+        b, max_ctx, n_kv, hd)
+    v = v_pages[:, page_indices].transpose(1, 2, 3, 0, 4).reshape(
+        b, max_ctx, n_kv, hd)
+    return k, v
+
+
+def paged_cached_attention(
+    q: jnp.ndarray,        # (b, 1, nq, hd) decode queries
+    k_new: jnp.ndarray,    # (b, 1, nkv, hd) NEW kv (not yet in pages)
+    v_new: jnp.ndarray,
+    k_pages: jnp.ndarray,  # (n_kv, P, ps, hd) — pool BEFORE this step
+    v_pages: jnp.ndarray,
+    lengths_old: jnp.ndarray,  # (b,) valid tokens per slot (excl. new)
+    page_indices: jnp.ndarray,
+) -> jnp.ndarray:
+    """Decode attention against READ-ONLY page pools + the new token, via
+    the same two-part softmax as ops.attention.cached_attention — so models
+    can keep the pool out of their scan carry/outputs (the scan-copy fix)."""
+    from accessory_tpu.ops.attention import cached_attention
+
+    k, v = gather_pages(k_pages, v_pages, page_indices)
+    return cached_attention(q, k_new, v_new, k, v, lengths_old)
 
 
 def paged_attention_decode(

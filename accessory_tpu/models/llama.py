@@ -336,7 +336,7 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
     lengths += sq).
     """
     from accessory_tpu.engine.kvcache import (
-        paged_attention_decode, write_tokens)
+        paged_cached_attention, write_tokens_all_layers)
     from accessory_tpu.ops.attention import attention as dense_attention
 
     b, sq = tokens.shape
@@ -357,8 +357,10 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
         start = jnp.zeros((b,), jnp.int32)
 
     page_indices = pcache.page_indices
-    new_lengths = pcache.lengths + sq
+    old_lengths = pcache.lengths
 
+    # pools stay READ-ONLY inside the scan (carrying them through scan
+    # outputs copies the whole pool every layer — see cached_attention)
     def body(h, xs):
         layer, kp, vp = xs
         x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
@@ -369,10 +371,9 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
         q = apply_rope(q, cos, sin, args.rope_style)
         k = apply_rope(k, cos, sin, args.rope_style)
 
-        kp, vp = write_tokens(kp, vp, k, v, page_indices, start)
         if decode:
-            out = paged_attention_decode(
-                q[:, 0], kp, vp, new_lengths, page_indices)[:, None]
+            out = paged_cached_attention(
+                q, k, v, kp, vp, old_lengths, page_indices)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
@@ -381,13 +382,16 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
         ff = layer["feed_forward"]
         gate = jax.nn.silu(module_linear(x, ff["w1"]))
         h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
-        return h, (kp, vp)
+        return h, (k, v)
 
     h, (new_k, new_v) = jax.lax.scan(
         body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
 
+    k_pages, v_pages = write_tokens_all_layers(
+        pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices, start)
+
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
     new_cache = dataclasses.replace(
-        pcache, k_pages=new_k, v_pages=new_v, lengths=new_lengths)
+        pcache, k_pages=k_pages, v_pages=v_pages, lengths=old_lengths + sq)
     return logits, new_cache

@@ -295,7 +295,7 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
     import dataclasses
 
     from accessory_tpu.engine.kvcache import (
-        paged_attention_decode, write_tokens)
+        paged_cached_attention, write_tokens_all_layers)
     from accessory_tpu.ops.attention import attention as dense_attention
 
     b, sq = tokens.shape
@@ -316,7 +316,7 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
         start = jnp.zeros((b,), jnp.int32)
 
     page_indices = pcache.page_indices
-    new_lengths = pcache.lengths + sq
+    old_lengths = pcache.lengths
 
     def body(h, xs):
         layer, kp, vp = xs
@@ -328,10 +328,9 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
         q = apply_rope(q, cos, sin, args.rope_style)
         k = apply_rope(k, cos, sin, args.rope_style)
 
-        kp, vp = write_tokens(kp, vp, k, v, page_indices, start)
         if decode:
-            out = paged_attention_decode(
-                q[:, 0], kp, vp, new_lengths, page_indices)[:, None]
+            out = paged_cached_attention(
+                q, k, v, kp, vp, old_lengths, page_indices)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
@@ -343,13 +342,16 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
             ff["w1"]["weight"], ff["w3"]["weight"], ff["w2"]["weight"],
             k=args.num_experts_per_tok, impl=moe_impl)
         h = h + y.reshape(b, sq, args.dim)
-        return h, (kp, vp)
+        return h, (k, v)
 
     h, (new_k, new_v) = jax.lax.scan(
         body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
 
+    k_pages, v_pages = write_tokens_all_layers(
+        pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices, start)
+
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
     new_cache = dataclasses.replace(
-        pcache, k_pages=new_k, v_pages=new_v, lengths=new_lengths)
+        pcache, k_pages=k_pages, v_pages=v_pages, lengths=old_lengths + sq)
     return logits, new_cache

@@ -129,7 +129,10 @@ def cached_attention(
     qg = q.reshape(b, sq, nkv, n_rep, hd)
     s_old = jnp.einsum("bqkrh,bskh->bkrqs", qg, cache_k,
                        preferred_element_type=jnp.float32) * scale
-    old_mask = jnp.arange(skv)[None, :] < jnp.asarray(pos)[None]  # (1, skv)
+    pos_arr = jnp.asarray(pos)
+    if pos_arr.ndim == 0:
+        pos_arr = pos_arr[None]  # (1,) broadcasts; (b,) = per-slot positions
+    old_mask = jnp.arange(skv)[None, :] < pos_arr[:, None]  # (b|1, skv)
     s_old = jnp.where(old_mask[:, None, None, None, :], s_old, NEG_INF)
 
     s_new = jnp.einsum("bqkrh,bskh->bkrqs", qg, k_new,
