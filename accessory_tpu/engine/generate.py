@@ -296,28 +296,42 @@ class Generator:
     # ------------------------------------------------------------------
 
     def compute_logits(self, examples: jnp.ndarray, images=None) -> jnp.ndarray:
-        """Full-sequence fp32 logits (training-style forward, no cache)."""
-        out = self.module.forward(self.params, self.args, examples)
+        """Full-sequence fp32 logits (training-style forward, no cache).
+        With ``images``, multimodal families return text-position logits
+        (image positions dropped, reference llama_ens forward)."""
+        if images is not None:
+            out = self.module.forward(self.params, self.args, examples,
+                                      images=jnp.asarray(images))
+        else:
+            out = self.module.forward(self.params, self.args, examples)
         return out[0]
 
-    def evaluate_examples(self, contexts: List[str], continuations: List[str]):
-        """Per-example (loglikelihood, ppl) of continuation given context.
+    def evaluate_examples(self, contexts: List[str], continuations: List[str],
+                          images=None):
+        """Per-example {loglikelihood, ppl, max_equal} of continuation given
+        context.
 
-        Reference: meta.py:298-369 (used by OpenCompass): tokenize
-        context+continuation, score continuation tokens only."""
+        Reference: meta.py:298-369 (the OpenCompass interface): tokenize
+        context+continuation, score continuation tokens only; ``max_equal``
+        is whether every continuation token is the argmax choice."""
         results = []
-        for ctx, cont in zip(contexts, continuations):
+        for i, (ctx, cont) in enumerate(zip(contexts, continuations)):
             ctx_t = self.tokenizer.encode(ctx, bos=True, eos=False)
             full_t = self.tokenizer.encode(ctx + cont, bos=True, eos=False)
             full = jnp.asarray([full_t], jnp.int32)
-            logits = self.compute_logits(full)
+            img = None if images is None else images[i:i + 1]
+            logits = self.compute_logits(full, images=img)
             logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
             tgt = jnp.asarray(full_t[1:])
             tok_lp = jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
             cont_lp = tok_lp[len(ctx_t) - 1:]
+            greedy = jnp.argmax(logp[len(ctx_t) - 1:], axis=-1)
+            max_equal = bool(jnp.all(greedy == tgt[len(ctx_t) - 1:]))
             ll = float(jnp.sum(cont_lp))
             n = int(cont_lp.shape[0])
-            results.append({"loglikelihood": ll, "ppl": float(np.exp(-ll / max(n, 1)))})
+            results.append({"loglikelihood": ll,
+                            "ppl": float(np.exp(-ll / max(n, 1))),
+                            "max_equal": max_equal})
         return results
 
 

@@ -116,8 +116,9 @@ class MetaModel:
     def compute_logits(self, examples, images=None):
         return self.generator.compute_logits(examples, images)
 
-    def evaluate_examples(self, contexts, continuations):
-        return self.generator.evaluate_examples(contexts, continuations)
+    def evaluate_examples(self, contexts, continuations, images=None):
+        return self.generator.evaluate_examples(contexts, continuations,
+                                                images=images)
 
     # ------------------------------------------------------------------
 
