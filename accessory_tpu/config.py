@@ -282,3 +282,14 @@ def _sphinx_visual_for(llama_type: str) -> str:
         "llama_ens_light": "ens_light", "llama_ens5_light": "ens5_light",
         "mixtral_sparse_ens": "ens", "mixtral_sparse_ens5": "ens5",
     }[llama_type]
+
+
+def _sphinx_image_size_for(llama_type: str) -> int:
+    """Reference per-variant input sizes (llama_ens*.py image_size fields);
+    multi-crop counts follow from size // 224 (2x2+1 at 448, 3x3+1 at 672)."""
+    return {
+        "llama_ens": 224, "llama_ens_peft": 224, "llama_ens_light": 224,
+        "llama_ens5": 448, "llama_ens5p2": 448, "llama_ens5_light": 448,
+        "llama_ens10": 672,
+        "mixtral_sparse_ens": 224, "mixtral_sparse_ens5": 448,
+    }.get(llama_type, 224)

@@ -54,10 +54,16 @@ class MetaModel:
         if vocab is not None:
             overrides["vocab_size"] = vocab
         from accessory_tpu.config import (
-            SphinxArgs, SphinxMoEArgs, _sphinx_visual_for)
+            SphinxArgs, SphinxMoEArgs, _sphinx_image_size_for,
+            _sphinx_visual_for)
 
         if args_cls in (SphinxArgs, SphinxMoEArgs):
-            overrides.setdefault("visual", _sphinx_visual_for(llama_type))
+            # per-type defaults, but explicit config keys win
+            merged_cfg = union_merge_configs(llama_config)
+            if "visual" not in merged_cfg:
+                overrides["visual"] = _sphinx_visual_for(llama_type)
+            if "image_size" not in merged_cfg:
+                overrides["image_size"] = _sphinx_image_size_for(llama_type)
             with_visual = True
         self.args = make_args(args_cls, llama_config, **overrides)
         self.with_visual = with_visual

@@ -31,7 +31,8 @@ from accessory_tpu.ops.rope import apply_rope, precompute_rope
 Params = Dict[str, Any]
 
 
-def init_params(key: jax.Array, args: AdapterArgs) -> Params:
+def init_params(key: jax.Array, args: AdapterArgs,
+                with_visual: bool = False) -> Params:
     params = llama.init_params(key, args)
     L = args.n_layers
     dtype = jnp.dtype(args.dtype)
@@ -44,7 +45,101 @@ def init_params(key: jax.Array, args: AdapterArgs) -> Params:
         # ZERO-init per-head gates (identity at start, reference :176)
         "gate": jnp.zeros((L, args.n_heads), dtype),
     }
+    if with_visual:
+        params["visual"] = _init_visual(k2, args)
     return params
+
+
+def _init_visual(key: jax.Array, args: AdapterArgs) -> Params:
+    """Visual-prefix branch (reference llama_adapter.py:343-360): CLIP
+    features attended by a zero-init visual query through a small projector
+    transformer (v_depth × v_num_heads at v_embed_dim), projected to dim and
+    ADDED to the per-layer prefix."""
+    from accessory_tpu.models.visual import ViTConfig, init_vit
+
+    ks = jax.random.split(key, 8)
+    ve, vd = args.v_embed_dim, args.v_depth
+    mlp = int(ve * args.v_mlp_ratio)
+
+    def dense(k, shape):
+        return jax.random.normal(k, shape, jnp.float32) * shape[-2] ** -0.5
+
+    clip_cfg = _clip_cfg(args)
+    return {
+        "clip": init_vit(ks[0], clip_cfg, jnp.float32),
+        "clip_proj": {"weight": dense(ks[1], (clip_cfg.width, ve)),
+                      "bias": jnp.zeros((ve,), jnp.float32)},
+        "query": jnp.zeros((args.prefix_len, ve), jnp.float32),  # zero-init
+        "blocks": {
+            "ln1": {"weight": jnp.ones((vd, ve)), "bias": jnp.zeros((vd, ve))},
+            "ln2": {"weight": jnp.ones((vd, ve)), "bias": jnp.zeros((vd, ve))},
+            "qkv": {"weight": dense(ks[2], (vd, ve, 3 * ve)),
+                    "bias": jnp.zeros((vd, 3 * ve))},
+            "proj": {"weight": dense(ks[3], (vd, ve, ve)),
+                     "bias": jnp.zeros((vd, ve))},
+            "fc1": {"weight": dense(ks[4], (vd, ve, mlp)),
+                    "bias": jnp.zeros((vd, mlp))},
+            "fc2": {"weight": dense(ks[5], (vd, mlp, ve)),
+                    "bias": jnp.zeros((vd, ve))},
+        },
+        "out_proj": {"weight": dense(ks[6], (ve, args.dim)),
+                     "bias": jnp.zeros((args.dim,), jnp.float32)},
+        "out_norm": {"weight": jnp.ones((args.dim,)),
+                     "bias": jnp.zeros((args.dim,))},
+    }
+
+
+def _clip_cfg(args: AdapterArgs):
+    from accessory_tpu.models.visual import ViTConfig
+
+    # CLIP ViT-L/14 by default; shrunk in tests via v_* fields
+    width = max(args.v_embed_dim, 32)
+    return ViTConfig(image_size=224, patch_size=14 if width >= 256 else 56,
+                     width=width if width >= 256 else args.v_embed_dim,
+                     layers=24 if width >= 1024 else 2,
+                     heads=16 if width >= 1024 else args.v_num_heads)
+
+
+def encode_visual_prefix(params: Params, args: AdapterArgs,
+                         images: jnp.ndarray) -> jnp.ndarray:
+    """images (b, 3, 224, 224) → (b, prefix_len, dim) visual prefix delta."""
+    from accessory_tpu.models.visual import vit_forward
+    from accessory_tpu.ops.norms import layer_norm
+
+    vis = params["visual"]
+    cfg = _clip_cfg(args)
+    feats = vit_forward(vis["clip"], cfg, images.astype(jnp.float32))
+    feats = jnp.dot(feats, vis["clip_proj"]["weight"]) + vis["clip_proj"]["bias"]
+    b = feats.shape[0]
+    pl_ = args.prefix_len
+    ve = args.v_embed_dim
+    heads = args.v_num_heads
+    hd = ve // heads
+
+    # [query; feats] through the projector blocks; queries self+cross attend
+    x = jnp.concatenate(
+        [jnp.broadcast_to(vis["query"][None], (b, pl_, ve)), feats], axis=1)
+
+    def body(x, blk):
+        h = layer_norm(x, blk["ln1"]["weight"], blk["ln1"]["bias"])
+        qkv = (jnp.dot(h, blk["qkv"]["weight"]) + blk["qkv"]["bias"]).reshape(
+            b, -1, 3, heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * hd ** -0.5
+        p = jax.nn.softmax(s, -1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, -1, ve)
+        x = x + jnp.dot(o, blk["proj"]["weight"]) + blk["proj"]["bias"]
+        h = layer_norm(x, blk["ln2"]["weight"], blk["ln2"]["bias"])
+        h = jax.nn.gelu(jnp.dot(h, blk["fc1"]["weight"]) + blk["fc1"]["bias"])
+        x = x + jnp.dot(h, blk["fc2"]["weight"]) + blk["fc2"]["bias"]
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, vis["blocks"])
+    q_out = x[:, :pl_]
+    delta = jnp.dot(q_out, vis["out_proj"]["weight"]) + vis["out_proj"]["bias"]
+    delta = layer_norm(delta, vis["out_norm"]["weight"], vis["out_norm"]["bias"])
+    return delta.astype(jnp.dtype(args.dtype))
 
 
 def param_axes(args: AdapterArgs) -> Params:
@@ -81,8 +176,14 @@ def forward(
     cur_pos=0,
     remat: bool = False,
     embeds: Optional[jnp.ndarray] = None,
+    images: Optional[jnp.ndarray] = None,
 ):
     b = tokens.shape[0]
+    visual_delta = None
+    if images is not None:
+        # visual prefix: the projected image features ADD to every prefix
+        # layer's prompt (reference llama_adapter multimodal stage)
+        visual_delta = encode_visual_prefix(params, args, images)
     h = embeds if embeds is not None else (
         jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
     sq = h.shape[1]
@@ -118,6 +219,8 @@ def forward(
 
         # zero-init-gated prefix attention (no RoPE on prefix, non-causal)
         pb = jnp.broadcast_to(prefix[None], (b, args.prefix_len, args.dim))
+        if visual_delta is not None:
+            pb = pb + visual_delta
         pk = module_linear(pb, att["wk"]).reshape(b, args.prefix_len, nkv, hd)
         pv = module_linear(pb, att["wv"]).reshape(b, args.prefix_len, nkv, hd)
         delta = attention(q, pk, pv, causal=False, q_offset=0)

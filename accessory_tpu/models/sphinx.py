@@ -75,7 +75,13 @@ def words_per_crop(args: SphinxArgs) -> int:
 
 
 def n_crops(args: SphinxArgs) -> int:
-    return 5 if args.visual.endswith("5") else 1
+    """1 for single-view variants; g²+1 for multi-crop (1 global resize + a
+    g×g tile grid): ens5 = 448px → 2x2+1 = 5 (llama_ens5.py:381-385),
+    ens10-style = 672px → 3x3+1 = 10 (llama_ens10.py)."""
+    if not ("5" in args.visual or args.image_size > 224):
+        return 1
+    g = max(args.image_size // 224, 1)
+    return 1 if g == 1 else g * g + 1
 
 
 def image_words(args: SphinxArgs) -> int:
@@ -146,17 +152,20 @@ def get_trainable_params_filter(args: SphinxArgs):
 
 
 def _split_crops(args: SphinxArgs, images: jnp.ndarray) -> jnp.ndarray:
-    """ens5: (b, 3, 448, 448) → (b*5, 3, 224, 224): 1 resized global view +
-    4 quadrant crops (reference llama_ens5.py:381-385)."""
-    if n_crops(args) == 1:
+    """(b, 3, S, S) → (b·n_crops, 3, 224, 224): 1 resized global view + a
+    g×g grid of 224px tiles (reference llama_ens5.py:381-385 for g=2;
+    llama_ens10's wide grid for g=3)."""
+    n = n_crops(args)
+    if n == 1:
         return images
     b = images.shape[0]
-    small = jax.image.resize(images, (b, 3, 224, 224), "linear")
-    tl = images[:, :, :224, :224]
-    tr = images[:, :, :224, 224:]
-    bl = images[:, :, 224:, :224]
-    br = images[:, :, 224:, 224:]
-    return jnp.stack([small, tl, tr, bl, br], axis=1).reshape(b * 5, 3, 224, 224)
+    g = max(args.image_size // 224, 1)
+    views = [jax.image.resize(images, (b, 3, 224, 224), "linear")]
+    for i in range(g):
+        for j in range(g):
+            views.append(images[:, :, i * 224:(i + 1) * 224,
+                                j * 224:(j + 1) * 224])
+    return jnp.stack(views, axis=1).reshape(b * n, 3, 224, 224)
 
 
 def encode_image(params: Params, args: SphinxArgs,

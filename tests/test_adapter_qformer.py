@@ -71,3 +71,26 @@ def test_qformerv2_image_path():
     assert not f("visual/qformer/queries")
     assert f("visual/qformer_proj/linear/weight")
     assert f("layers/attention/wq/weight")
+
+
+def test_adapter_visual_prefix():
+    mod = get_model_module("llama_adapter")
+    args = AdapterArgs(**TINY, prefix_layers=2, prefix_len=4,
+                       v_embed_dim=32, v_depth=2, v_num_heads=2)
+    params = mod.init_params(jax.random.PRNGKey(0), args, with_visual=True)
+    assert "visual" in params
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 96)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 224, 224))
+
+    # gates zero → image cannot change the output (zero-init property holds
+    # through the visual stage too)
+    a, _ = mod.forward(params, args, toks, images=imgs)
+    b, _ = mod.forward(params, args, toks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # with open gates the image changes the output
+    params["adapter"]["gate"] = jnp.ones_like(params["adapter"]["gate"])
+    a2, _ = mod.forward(params, args, toks, images=imgs)
+    b2, _ = mod.forward(params, args, toks)
+    assert not np.allclose(np.asarray(a2), np.asarray(b2))

@@ -180,3 +180,13 @@ def test_sphinx_multimodal_train_step():
     np.testing.assert_array_equal(
         np.asarray(state.params["visual"]["dinov2"]["pos_embed"]),
         np.asarray(params["visual"]["dinov2"]["pos_embed"]))
+
+
+def test_ens10_crop_grid():
+    args = SphinxArgs(**{**TINY, "max_seq_len": 3000}, visual="ens5",
+                      image_size=672)
+    assert sphinx.n_crops(args) == 10  # 3x3 grid + global view
+    params = sphinx.init_params(jax.random.PRNGKey(0), args)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 672, 672))
+    toks = sphinx.encode_image(params, args, imgs)
+    assert toks.shape == (1, 10 * sphinx.words_per_crop(args), args.dim)
