@@ -150,6 +150,46 @@ def load_checkpoint(load_dir: str):
     return unflatten_params(_read_flat(load_dir), quant_meta)
 
 
+def stream_checkpoint(load_dir: str, device_put_fn=None):
+    """Stream tensors one at a time (safetensors lazy slicing) — the
+    counterpart of the reference's ShardedTensorLoader
+    (tensor_parallel.py:488-576) for checkpoints larger than host RAM.
+
+    Yields (path, array); with ``device_put_fn(path, np_array) -> Array``
+    each tensor is placed (e.g. onto its mesh shards) before the next is
+    read, so peak host memory stays at one tensor.
+    """
+    from safetensors import safe_open
+
+    with safe_open(str(Path(load_dir) / WEIGHTS_FILE), framework="np") as f:
+        for key in f.keys():
+            arr = f.get_tensor(key)
+            if key.endswith("@bf16"):
+                key = key[: -len("@bf16")]
+                arr = arr.view(jnp.bfloat16)
+            if device_put_fn is not None:
+                arr = device_put_fn(key, arr)
+            yield key, arr
+
+
+def load_checkpoint_streaming(load_dir: str, shardings_flat=None):
+    """Build the params pytree tensor-by-tensor, optionally placing each
+    leaf with its NamedSharding as it loads (70B-class checkpoints never
+    fully materialize on one host)."""
+    quant_meta = {}
+    qf = Path(load_dir) / QUANT_FILE
+    if qf.exists():
+        quant_meta = json.loads(qf.read_text())
+
+    def put(key, arr):
+        if shardings_flat and key in shardings_flat:
+            return jax.device_put(arr, shardings_flat[key])
+        return arr
+
+    flat = dict(stream_checkpoint(load_dir, device_put_fn=put))
+    return unflatten_params(flat, quant_meta)
+
+
 def _merge_into(dst: Dict[str, Any], src: Dict[str, Any], diff: bool) -> None:
     """Override/add (or add-delta when ``diff``) — the semantics of
     load_tensor_parallel_model_list (tensor_parallel.py:425-485)."""

@@ -178,3 +178,13 @@ def test_mixtral_ep_import(tmp_path):
 
     loaded = load_checkpoint_list([str(tmp_path)], params, dtype="float32")
     assert_tree_equal(params, loaded)
+
+
+def test_streaming_loader_matches_eager(tmp_path):
+    from accessory_tpu.checkpoint.native import load_checkpoint_streaming
+
+    _, params = tiny_llama()
+    save_checkpoint(str(tmp_path), params)
+    eager = load_checkpoint(str(tmp_path))
+    streamed = load_checkpoint_streaming(str(tmp_path))
+    assert_tree_equal(eager, streamed)

@@ -63,3 +63,14 @@ def test_evaluate_vqa_driver(tmp_path):
               "question": "what is in the image", "answer": "a cat"}]
     res = evaluate_vqa(m, items, max_gen_len=4)
     assert res["total"] == 1 and 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_refcoco_metrics():
+    from accessory_tpu.eval.eval_mm import box_iou, extract_box
+
+    assert extract_box("the box is [10, 20, 30, 40].") == (10, 20, 30, 40)
+    assert extract_box("(1.5, 2.5, 3.5, 4.5)") == (1.5, 2.5, 3.5, 4.5)
+    assert extract_box("no box here") is None
+    assert box_iou((0, 0, 10, 10), (0, 0, 10, 10)) == 1.0
+    assert box_iou((0, 0, 10, 10), (5, 5, 15, 15)) == pytest.approx(25 / 175)
+    assert box_iou((0, 0, 1, 1), (5, 5, 6, 6)) == 0.0
