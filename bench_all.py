@@ -181,7 +181,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
-                    choices=[None, "tiny", "7b", "moe", "sphinx"])
+                    choices=[None, "tiny", "7b", "moe", "sphinx", "ttft"])
     a = ap.parse_args()
     if a.only in (None, "tiny"):
         bench_llama_decode("TinyLlama-1.1B",
@@ -196,3 +196,36 @@ if __name__ == "__main__":
         bench_moe_decode()
     if not a.quick and a.only in (None, "sphinx"):
         bench_sphinx_prefill()
+    if not a.quick and a.only in (None, "ttft"):
+        bench_prefill_ttft()
+
+
+def bench_prefill_ttft(batch=1, prompt_len=2048):
+    """Time-to-first-token: one full prefill of the flagship config
+    (BASELINE metric: p50 TTFT)."""
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+
+    args = LLaMAArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+                     vocab_size=32000, multiple_of=256, max_seq_len=prompt_len,
+                     dtype="bfloat16")
+    params = synthetic_quantized_params(
+        lambda: llama.init_params(jax.random.PRNGKey(0), args),
+        jax.random.PRNGKey(0))
+    toks = jnp.ones((batch, prompt_len), jnp.int32)
+    fwd = jax.jit(lambda p, t, c: llama.forward(p, args, t, cache=c, cur_pos=0))
+
+    def once():
+        cache = llama.init_kv_cache(args, batch, max_len=prompt_len)
+        logits, cache = fwd(params, toks, cache)
+        fetch(logits)
+
+    once()  # compile
+    t0 = time.perf_counter()
+    for _ in range(5):
+        once()
+    dt = (time.perf_counter() - t0) / 5
+    print(json.dumps({
+        "metric": f"TTFT TinyLlama-1.1B W4A16 prefill {prompt_len} toks",
+        "value": round(dt * 1e3, 1), "unit": "ms",
+        "vs_baseline": round(batch * prompt_len / dt, 1)}), flush=True)
