@@ -96,7 +96,48 @@ def conv_v1() -> Conversation:
         sep_style=SeparatorStyle.SINGLE, sep="###")
 
 
-CONV_TEMPLATES: Dict[str, Callable[[], Conversation]] = {"v1": conv_v1}
+def conv_vicuna_v1_1() -> Conversation:
+    return Conversation(
+        system="A chat between a curious user and an artificial intelligence assistant. "
+               "The assistant gives helpful, detailed, and polite answers to the user's questions.",
+        roles=("USER", "ASSISTANT"), messages=[],
+        sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
+
+
+def conv_bair_v1() -> Conversation:
+    return Conversation(
+        system="BEGINNING OF CONVERSATION:", roles=("USER", "GPT"),
+        messages=[], sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
+
+
+def simple_conv_multimodal() -> Conversation:
+    return Conversation(
+        system="You are LLaVA, a large language and vision assistant trained by UW Madison WAIV Lab."
+               "You are able to understand the visual content that the user provides, and assist the user with a variety of tasks using natural language."
+               "Follow the instructions carefully and explain your answers in detail.",
+        roles=("Human", "Assistant"), messages=[],
+        sep_style=SeparatorStyle.SINGLE, sep="###")
+
+
+def conv_llava_v1() -> Conversation:
+    return Conversation(
+        system="You are LLaVA, a large language and vision assistant trained by UW Madison WAIV Lab."
+               "You are able to understand the visual content that the user provides, and assist the user with a variety of tasks using natural language."
+               "Follow the instructions carefully and explain your answers in detail.",
+        roles=("USER", "ASSISTANT"), messages=[],
+        sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>")
+
+
+# registry (reference conversation/lib.py:190-201)
+CONV_TEMPLATES: Dict[str, Callable[[], Conversation]] = {
+    "default": conv_v1,
+    "v1": conv_v1,
+    "simple": conv_v1,
+    "multimodal": simple_conv_multimodal,
+    "llava_v1": conv_llava_v1,
+    "bair_v1": conv_bair_v1,
+    "vicuna_v1_1": conv_vicuna_v1_1,
+}
 default_conversation = conv_v1
 
 

@@ -186,3 +186,19 @@ def test_transforms(tmp_path):
                lambda i: padded_resize(i, 224)):
         out = fn(img)
         assert out.shape == (3, 224, 224) and out.dtype == np.float32
+
+
+def test_conversation_templates_registry():
+    from accessory_tpu.data.conversation import CONV_TEMPLATES, SeparatorStyle
+
+    assert set(CONV_TEMPLATES) >= {"default", "v1", "simple", "multimodal",
+                                   "llava_v1", "bair_v1", "vicuna_v1_1"}
+    v = CONV_TEMPLATES["vicuna_v1_1"]()
+    v.load_qas([["hi", "hello"], ["bye", None]])
+    p = v.process()
+    assert p["conv"].endswith("ASSISTANT:")
+    assert p["to_predict"] == ["hello</s>"]
+    assert v.response_end_signal == "</s>"
+    s = CONV_TEMPLATES["v1"]()
+    s.load_qas([["hi", None]])
+    assert s.get_prompt().endswith("Assistant:")
