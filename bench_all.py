@@ -177,29 +177,6 @@ def bench_sphinx_prefill():
         "vs_baseline": 0.0}), flush=True)
 
 
-if __name__ == "__main__":
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--only", default=None,
-                    choices=[None, "tiny", "7b", "moe", "sphinx", "ttft"])
-    a = ap.parse_args()
-    if a.only in (None, "tiny"):
-        bench_llama_decode("TinyLlama-1.1B",
-                           dict(dim=2048, n_layers=22, n_heads=32,
-                                n_kv_heads=4, vocab_size=32000,
-                                multiple_of=256))
-    if not a.quick and a.only in (None, "7b"):
-        bench_llama_decode("LLaMA2-7B",
-                           dict(dim=4096, n_layers=32, n_heads=32,
-                                vocab_size=32000, multiple_of=256))
-    if not a.quick and a.only in (None, "moe"):
-        bench_moe_decode()
-    if not a.quick and a.only in (None, "sphinx"):
-        bench_sphinx_prefill()
-    if not a.quick and a.only in (None, "ttft"):
-        bench_prefill_ttft()
-
-
 def bench_prefill_ttft(batch=1, prompt_len=2048):
     """Time-to-first-token: one full prefill of the flagship config
     (BASELINE metric: p50 TTFT)."""
@@ -229,3 +206,26 @@ def bench_prefill_ttft(batch=1, prompt_len=2048):
         "metric": f"TTFT TinyLlama-1.1B W4A16 prefill {prompt_len} toks",
         "value": round(dt * 1e3, 1), "unit": "ms",
         "vs_baseline": round(batch * prompt_len / dt, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    choices=[None, "tiny", "7b", "moe", "sphinx", "ttft"])
+    a = ap.parse_args()
+    if a.only in (None, "tiny"):
+        bench_llama_decode("TinyLlama-1.1B",
+                           dict(dim=2048, n_layers=22, n_heads=32,
+                                n_kv_heads=4, vocab_size=32000,
+                                multiple_of=256))
+    if not a.quick and a.only in (None, "7b"):
+        bench_llama_decode("LLaMA2-7B",
+                           dict(dim=4096, n_layers=32, n_heads=32,
+                                vocab_size=32000, multiple_of=256))
+    if not a.quick and a.only in (None, "moe"):
+        bench_moe_decode()
+    if not a.quick and a.only in (None, "sphinx"):
+        bench_sphinx_prefill()
+    if not a.quick and a.only in (None, "ttft"):
+        bench_prefill_ttft()
