@@ -281,6 +281,9 @@ def _sphinx_visual_for(llama_type: str) -> str:
         "llama_ens10": "ens5", "llama_ens_peft": "ens",
         "llama_ens_light": "ens_light", "llama_ens5_light": "ens5_light",
         "mixtral_sparse_ens": "ens", "mixtral_sparse_ens5": "ens5",
+        # qformer-only visual branch (llama_qformerv2.py); the model module
+        # ignores the ensemble fields it doesn't use
+        "llama_qformerv2": "ens", "llama_qformerv2_peft": "ens",
     }[llama_type]
 
 

@@ -81,13 +81,15 @@ class MetaModel:
         enc = getattr(self.module, "encode_image", None)
         if not self.with_visual or enc is None:
             return None
-        from accessory_tpu.models.sphinx import image_words
+        words_fn = getattr(self.module, "image_words", None)
+        if words_fn is None:
+            from accessory_tpu.models.sphinx import image_words as words_fn
 
         def f(params, images):
             import jax.numpy as jnp
 
             return enc(params, self.args, jnp.asarray(images)), \
-                image_words(self.args)
+                words_fn(self.args)
 
         return f
 

@@ -94,3 +94,30 @@ def test_adapter_visual_prefix():
     a2, _ = mod.forward(params, args, toks, images=imgs)
     b2, _ = mod.forward(params, args, toks)
     assert not np.allclose(np.asarray(a2), np.asarray(b2))
+
+
+def test_qformerv2_through_metamodel(tmp_path):
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import decoders, models, pre_tokenizers, trainers
+
+    from accessory_tpu.meta import MetaModel
+
+    tk = HFTok(models.BPE(unk_token=None))
+    tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=True)
+    tk.decoder = decoders.ByteLevel()
+    tr = trainers.BpeTrainer(vocab_size=300, special_tokens=["<s>", "</s>"],
+                             initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+    tk.train_from_iterator(["the quick brown fox"] * 30, tr)
+    tk.save(str(tmp_path / "tok.json"))
+
+    m = MetaModel("llama_qformerv2",
+                  {"dim": 64, "n_layers": 2, "n_heads": 4, "n_kv_heads": 2,
+                   "multiple_of": 32, "dtype": "float32", "vit_patch": 56,
+                   "clip_width": 32, "clip_layers": 2, "clip_heads": 2,
+                   "qformer_width": 32, "qformer_layers": 2,
+                   "qformer_heads": 2},
+                  tokenizer_path=str(tmp_path / "tok.json"), max_seq_len=256)
+    assert m.with_visual
+    imgs = np.random.RandomState(0).randn(1, 3, 224, 224).astype(np.float32)
+    out = m.generate(["the quick"], images=imgs, max_gen_len=3)
+    assert len(out) == 1 and isinstance(out[0], str)
