@@ -54,10 +54,10 @@ DINO_STD = jnp.array([0.229, 0.224, 0.225])
 def _tower_cfgs(args: SphinxArgs):
     vit = ViTConfig(image_size=224, patch_size=args.vit_patch,
                     width=args.clip_width, layers=args.clip_layers,
-                    heads=args.clip_heads)
+                    heads=args.clip_heads, act="quick_gelu")
     dino = ViTConfig(image_size=224, patch_size=args.vit_patch,
                      width=args.dino_width, layers=args.dino_layers,
-                     heads=args.dino_heads)
+                     heads=args.dino_heads, act="gelu")
     conv = ConvNeXtConfig(depths=tuple(args.convnext_depths),
                           dims=tuple(args.convnext_dims))
     qf = QFormerConfig(n_queries=32, width=args.qformer_width,

@@ -38,6 +38,7 @@ class ViTConfig:
     layers: int = 24
     heads: int = 16
     mlp_ratio: float = 4.0
+    act: str = "quick_gelu"  # CLIP uses QuickGELU; DINOv2 exact GELU
 
     @property
     def n_patches(self) -> int:
@@ -111,12 +112,15 @@ def vit_forward(params: Params, cfg: ViTConfig, images: jnp.ndarray) -> jnp.ndar
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"][None]
     x = layer_norm(x, params["ln_pre"]["weight"], params["ln_pre"]["bias"])
 
+    act = (lambda v: v * jax.nn.sigmoid(1.702 * v)) if cfg.act == "quick_gelu" \
+        else (lambda v: jax.nn.gelu(v, approximate=False))
+
     def body(x, blk):
         h = layer_norm(x, blk["ln1"]["weight"], blk["ln1"]["bias"])
         x = x + _attn(h, blk["qkv"]["weight"], blk["qkv"]["bias"],
                       blk["proj"]["weight"], blk["proj"]["bias"], cfg.heads)
         h = layer_norm(x, blk["ln2"]["weight"], blk["ln2"]["bias"])
-        h = jax.nn.gelu(jnp.dot(h, blk["fc1"]["weight"]) + blk["fc1"]["bias"])
+        h = act(jnp.dot(h, blk["fc1"]["weight"]) + blk["fc1"]["bias"])
         x = x + jnp.dot(h, blk["fc2"]["weight"]) + blk["fc2"]["bias"]
         return x, None
 
