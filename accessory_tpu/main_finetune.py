@@ -130,6 +130,12 @@ def main(args):
         block = tuple(DEFAULT_BLOCKLIST) + tuple(model.get_quant_blocklist())
         model.params = quantize_params(model.params, bits=4, blocklist=block)
 
+    # trainable params train in fp32 masters (reference
+    # promote_trainable_params_to_fp32, tensor_type.py:60-66)
+    from accessory_tpu.train.precision import promote_trainable_params_to_fp32
+
+    model.params = promote_trainable_params_to_fp32(model.params, trainable)
+
     lr_args = argparse.Namespace(lr=args.lr, min_lr=args.min_lr,
                                  warmup_epochs=args.warmup_epochs,
                                  epochs=args.epochs)

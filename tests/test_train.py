@@ -152,3 +152,16 @@ def test_layerwise_lr_scale():
     ratio = float(np.abs(np.asarray(upd["visual"]["w"])).mean()
                   / np.abs(np.asarray(upd["layers"]["w"])).mean())
     assert abs(ratio - 0.1) < 1e-5, ratio
+
+
+def test_promote_trainable_params_to_fp32():
+    from accessory_tpu.train.precision import promote_trainable_params_to_fp32
+
+    args = LLaMAArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=64,
+                     multiple_of=16, max_seq_len=16, dtype="bfloat16",
+                     lora_rank=4)
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    f = llama.get_trainable_params_filter(args)
+    out = promote_trainable_params_to_fp32(params, f)
+    assert out["layers"]["attention"]["wq"]["lora_a"].dtype == jnp.float32
+    assert out["layers"]["attention"]["wq"]["weight"].dtype == jnp.bfloat16
