@@ -114,3 +114,57 @@ def convert_to_hf(src: str, dst: str) -> None:
 if __name__ == "__main__":
     a = get_args_parser().parse_args()
     convert_to_hf(a.src, a.dst)
+
+
+def _unpermute_rope(w_out_in: np.ndarray, n_heads: int) -> np.ndarray:
+    """Inverse of _permute_rope: HF half-split rows → interleaved pairs."""
+    out_dim, in_dim = w_out_in.shape
+    hd = out_dim // n_heads
+    w = w_out_in.reshape(n_heads, 2, hd // 2, in_dim)
+    w = np.stack([w[:, 0], w[:, 1]], axis=2)  # (h, hd/2, 2, in)
+    return w.reshape(out_dim, in_dim)
+
+
+def convert_hf_to_ours(src: str, n_heads: int, n_kv_heads=None):
+    """Import a HF LLaMA checkpoint dir (model*.safetensors) → our flat
+    param dict ('/'-joined keys, stacked layers, (in, out) layout). The
+    inverse of convert_to_hf; also loads stock HF llama checkpoints."""
+    import glob
+    import re
+
+    from safetensors.numpy import load_file
+
+    sd = {}
+    for f in sorted(glob.glob(os.path.join(src, "*.safetensors"))):
+        sd.update(load_file(f))
+    n_kv = n_kv_heads or n_heads
+
+    def T(a):
+        return np.ascontiguousarray(np.asarray(a, np.float32).T)
+
+    out = {"tok_embeddings/weight": np.asarray(sd["model.embed_tokens.weight"]),
+           "norm/weight": np.asarray(sd["model.norm.weight"]),
+           "output/weight": T(sd["lm_head.weight"])}
+    ids = sorted({int(m.group(1)) for k in sd
+                  if (m := re.match(r"model\.layers\.(\d+)\.", k))})
+
+    def stack(fmt, transform=None):
+        return np.stack([(transform(np.asarray(sd[fmt.format(i)]))
+                          if transform else np.asarray(sd[fmt.format(i)]))
+                         for i in ids])
+
+    Lf = "model.layers.{}."
+    out["layers/attention_norm/weight"] = stack(Lf + "input_layernorm.weight")
+    out["layers/ffn_norm/weight"] = stack(Lf + "post_attention_layernorm.weight")
+    out["layers/attention/wq/weight"] = stack(
+        Lf + "self_attn.q_proj.weight",
+        lambda w: T(_unpermute_rope(np.asarray(w, np.float32), n_heads)))
+    out["layers/attention/wk/weight"] = stack(
+        Lf + "self_attn.k_proj.weight",
+        lambda w: T(_unpermute_rope(np.asarray(w, np.float32), n_kv)))
+    out["layers/attention/wv/weight"] = stack(Lf + "self_attn.v_proj.weight", T)
+    out["layers/attention/wo/weight"] = stack(Lf + "self_attn.o_proj.weight", T)
+    out["layers/feed_forward/w1/weight"] = stack(Lf + "mlp.gate_proj.weight", T)
+    out["layers/feed_forward/w2/weight"] = stack(Lf + "mlp.down_proj.weight", T)
+    out["layers/feed_forward/w3/weight"] = stack(Lf + "mlp.up_proj.weight", T)
+    return out

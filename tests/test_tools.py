@@ -102,3 +102,26 @@ def test_hf_export_logit_parity(tmp_path):
         theirs = model(torch.tensor(tokens, dtype=torch.long)).logits
     np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_hf_roundtrip_ours_to_hf_to_ours(tmp_path):
+    """Export → re-import must be the identity (validates the RoPE
+    permutation inverse and every transpose)."""
+    from accessory_tpu.checkpoint.native import flatten_params
+    from accessory_tpu.tools.convert_weights_to_hf import (
+        convert_hf_to_ours, convert_to_hf)
+
+    args, params = tiny()
+    src = str(tmp_path / "src")
+    save_checkpoint(src, params)
+    (tmp_path / "src" / "config.json").write_text(json.dumps({
+        "dim": args.dim, "n_layers": args.n_layers, "n_heads": args.n_heads,
+        "n_kv_heads": args.kv_heads}))
+    dst = str(tmp_path / "hf")
+    convert_to_hf(src, dst)
+    back = convert_hf_to_ours(dst, n_heads=args.n_heads,
+                              n_kv_heads=args.kv_heads)
+    ours = flatten_params(params)
+    for k, v in back.items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ours[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
