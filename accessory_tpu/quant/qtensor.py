@@ -105,6 +105,7 @@ def quantize_weight(
     group_size: int = 128,
     act_dtype=jnp.bfloat16,
     pad_in_to: Optional[int] = None,
+    nibble_pack: bool = False,
 ) -> QuantizedWeight:
     """Asymmetric min/max group quantization of an (in_dim, out_dim) weight.
 
@@ -124,6 +125,26 @@ def quantize_weight(
             w = jnp.pad(w, ((0, pad), (0, 0)))
     in_dim, out_dim = w.shape
     assert in_dim % group_size == 0, (in_dim, group_size)
+
+    if bits == 3 and nibble_pack:
+        # W3A16 on the fast path: quantize on the 3-bit grid (q ∈ [0,7])
+        # but store in nibble containers so the fused W4 Pallas kernel
+        # serves it — 0.5 bytes/weight instead of the ideal 0.375, in
+        # exchange for kernel speed (the 10-per-word W3 packing doesn't
+        # tile on TPU). Accuracy is exactly W3.
+        wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out_dim)
+        qmax3 = 7.0
+        wmin = jnp.min(wf, axis=1)
+        wmax = jnp.max(wf, axis=1)
+        scales = jnp.maximum((wmax - wmin) / qmax3, 1e-10)
+        zeros = jnp.round(-wmin / scales)
+        q = jnp.clip(jnp.round(wf / scales[:, None, :]) + zeros[:, None, :],
+                     0, qmax3)
+        q = q.reshape(in_dim, out_dim).astype(jnp.int32)
+        return QuantizedWeight(
+            packed=pack_int(q, 4), scales=scales, zeros=zeros, bits=4,
+            group_size=group_size, in_dim=in_dim, out_dim=out_dim,
+            act_dtype=jnp.dtype(act_dtype))
     wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out_dim)
     qmax = float(2 ** bits - 1)
     wmin = jnp.min(wf, axis=1)

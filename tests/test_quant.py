@@ -60,3 +60,23 @@ def test_quantize_params_respects_blocklist():
     # stacked-layer quant: leading layer axis preserved on packed data
     qw = qp["layers"]["attention"]["wq"]["weight"]
     assert qw.packed.shape[0] == 2
+
+
+def test_w3_nibble_pack_fast_path():
+    """W3 values (3-bit grid) stored in nibble containers: exact W3 accuracy
+    on the W4 kernel fast path."""
+    import jax
+
+    from accessory_tpu.quant.qtensor import (
+        dequantize_weight, quantize_weight)
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 128), jnp.float32) * 0.05
+    q3 = quantize_weight(w, bits=3, group_size=32, act_dtype=jnp.float32)
+    q3n = quantize_weight(w, bits=3, group_size=32, act_dtype=jnp.float32,
+                          nibble_pack=True)
+    # same 3-bit grid, different containers
+    d3 = np.asarray(dequantize_weight(q3, jnp.float32))
+    d3n = np.asarray(dequantize_weight(q3n, jnp.float32))
+    np.testing.assert_allclose(d3, d3n, rtol=1e-6, atol=1e-7)
+    # nibble container is kernel-eligible storage (bits=4)
+    assert q3n.bits == 4 and q3.bits == 3
