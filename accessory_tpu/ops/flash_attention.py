@@ -28,8 +28,11 @@ def flash_available(q_len: int, kv_len: int, causal: bool, head_dim: int) -> boo
         return False
     if jax.default_backend() != "tpu":
         return False
-    # kernel constraints: self-attention shape, last dim lane-aligned enough
-    return causal and q_len == kv_len and q_len >= 128 and head_dim in (64, 128, 256)
+    # kernel constraints: self-attention shape, 128-divisible sequence (the
+    # kernel's block_k_major — e.g. multimodal splices like 259+64=323 must
+    # take the XLA path), lane-aligned head dim
+    return (causal and q_len == kv_len and q_len >= 128
+            and q_len % 128 == 0 and head_dim in (64, 128, 256))
 
 
 def flash_attention_tpu(
