@@ -50,16 +50,55 @@ def leaf_bytes(tree) -> int:
     return total
 
 
+def _host_synthetic_w4(args, group_size=128):
+    """Numpy-built params tree with random W4 leaves (same shapes/dtypes as
+    quantize_params output; values irrelevant to throughput)."""
+    import jax
+
+    from accessory_tpu.models import llama
+    from accessory_tpu.quant.qtensor import QuantizedWeight
+    from accessory_tpu.quant.quantize import DEFAULT_BLOCKLIST, _path_str
+
+    rng = np.random.RandomState(0)
+    base = (rng.standard_normal(8191) * 0.02).astype(np.float32)
+    shapes = jax.eval_shape(lambda: llama.init_params(jax.random.PRNGKey(0), args))
+
+    def visit(path, s):
+        name = _path_str(path)
+        quantizable = (
+            not any(b in name for b in tuple(DEFAULT_BLOCKLIST) + ("output",))
+            and jnp.issubdtype(s.dtype, jnp.floating)
+            and s.ndim == 3 and s.shape[1] % group_size == 0)
+        if quantizable:
+            L, k, n = s.shape
+            packed = rng.randint(0, 2 ** 32, size=(L, k // 8, n),
+                                 dtype=np.uint32)
+            scales = rng.uniform(1e-3, 2e-3, size=(L, k // group_size, n)
+                                 ).astype(np.float32)
+            zeros = np.round(rng.uniform(0, 15, size=scales.shape)
+                             ).astype(np.float32)
+            return QuantizedWeight(
+                packed=jnp.asarray(packed), scales=jnp.asarray(scales),
+                zeros=jnp.asarray(zeros), bits=4, group_size=group_size,
+                in_dim=k, out_dim=n)
+        return jnp.asarray(np.resize(base, s.shape), dtype=s.dtype)
+
+    import jax.tree_util as jtu
+
+    return jtu.tree_map_with_path(visit, shapes)
+
+
 def main() -> None:
     from accessory_tpu.config import LLaMAArgs
     from accessory_tpu.models import llama
-    from accessory_tpu.quant import quantize_params
 
     args = LLaMAArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
                      vocab_size=32000, multiple_of=256, max_seq_len=CACHE_LEN,
                      dtype="bfloat16")
-    params = quantize_params(
-        llama.init_params(jax.random.PRNGKey(0), args), bits=4, group_size=128)
+    # host-side numpy init of synthetic W4 weights: on-device init/quantize
+    # costs a dozen remote compiles through the relay (can exceed the
+    # driver's timeout when the compile service is congested)
+    params = _host_synthetic_w4(args)
     cache = llama.init_kv_cache(args, BATCH, max_len=CACHE_LEN)
 
     weight_bytes = leaf_bytes(params)
