@@ -92,8 +92,10 @@ def main(args):
         find_latest_checkpoint, resume_stage1, resume_stage2,
         save_train_checkpoint)
     from accessory_tpu.train.train_step import shard_train_state
-    from accessory_tpu.util.logging import MetricLogger, write_log_line
+    from accessory_tpu.util.logging import (
+        MetricLogger, setup_for_distributed, write_log_line)
 
+    setup_for_distributed(jax.process_index() == 0)
     os.makedirs(args.output_dir, exist_ok=True)
     print(f"devices: {jax.devices()}")
 

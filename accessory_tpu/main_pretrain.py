@@ -62,8 +62,10 @@ def main(args):
         save_train_checkpoint)
     from accessory_tpu.train.train_step import shard_train_state
     from accessory_tpu.main_finetune import build_mesh
-    from accessory_tpu.util.logging import MetricLogger, write_log_line
+    from accessory_tpu.util.logging import (
+        MetricLogger, setup_for_distributed, write_log_line)
 
+    setup_for_distributed(jax.process_index() == 0)
     os.makedirs(args.output_dir, exist_ok=True)
     dtype = "bfloat16" if args.precision == "bf16" else "float32"
     model = MetaModel(args.llama_type, list(args.llama_config),
@@ -115,11 +117,10 @@ def main(args):
             train_ds.load_state_dict(ds_state)
 
     def lm_batch(tokens):
-        # next-token prediction: labels are the inputs shifted internally by
-        # the loss (reference trains with examples==labels shifted by model)
-        labels = np.concatenate(
-            [tokens[:, 1:], np.zeros((tokens.shape[0], 1), np.int32)], axis=1)
-        return {"examples": tokens, "labels": labels}
+        # labels aligned with inputs (pad=0 masked); the loss applies the
+        # next-token shift itself (reference meta.py: output[:,:-1] vs
+        # labels[:,1:])
+        return {"examples": tokens, "labels": tokens.copy()}
 
     logger = MetricLogger()
     loader = batched(iter(train_ds), args.batch_size * args.accum_iter)

@@ -62,6 +62,35 @@ def from_gptq(
     )
 
 
+def _rope_unpermute_cols(n_heads: int, out_dim: int) -> np.ndarray:
+    """Column permutation taking HF half-split rotary layout to our
+    interleaved layout (same mapping as convert_weights_to_hf._unpermute_rope
+    but expressed as an index array over the out axis).
+
+    Interleaved position (h, 2i+p) reads HF position (h, p*hd/2 + i).
+    """
+    hd = out_dim // n_heads
+    i = np.arange(hd // 2)
+    per_head = np.empty(hd, np.int64)
+    per_head[2 * i] = i
+    per_head[2 * i + 1] = hd // 2 + i
+    return (np.arange(n_heads)[:, None] * hd + per_head[None, :]).reshape(-1)
+
+
+def unpermute_rope_qw(qw: QuantizedWeight, n_heads: int) -> QuantizedWeight:
+    """Undo the HF half-split rotary row permutation on a GPTQ-imported
+    q/k projection. HF AutoGPTQ checkpoints quantize HF-layout weights
+    (rows permuted for half-split RoPE); our models default to
+    rope_style='interleaved' (config.py), so the out (N) axis of
+    packed/scales/zeros must be column-reordered — a pure reorder, exact."""
+    perm = _rope_unpermute_cols(n_heads, qw.out_dim)
+    return QuantizedWeight(
+        packed=qw.packed[:, perm], scales=qw.scales[:, perm],
+        zeros=qw.zeros[:, perm], bits=qw.bits, group_size=qw.group_size,
+        in_dim=qw.in_dim, out_dim=qw.out_dim, act_dtype=qw.act_dtype,
+        layout=qw.layout, tile_k=qw.tile_k)
+
+
 # HF-GPTQ module name → our flat param path (llama family)
 _HF_TO_OURS = {
     "self_attn.q_proj": "layers/attention/wq/weight",
@@ -75,8 +104,17 @@ _HF_TO_OURS = {
 
 
 def load_gptq_dir(path: str, bits: int = 4, group_size: int = 128,
-                  act_dtype=jnp.bfloat16) -> Dict[str, Dict[int, QuantizedWeight]]:
+                  act_dtype=jnp.bfloat16, n_heads: Optional[int] = None,
+                  n_kv_heads: Optional[int] = None,
+                  rope_style: str = "interleaved",
+                  ) -> Dict[str, Dict[int, QuantizedWeight]]:
     """Read a HF AutoGPTQ safetensors dir → {our_path: {layer_idx: QW}}.
+
+    With ``rope_style='interleaved'`` (our models' default) the HF
+    half-split rotary permutation on q_proj/k_proj is undone column-wise
+    (``unpermute_rope_qw``) — ``n_heads`` (and ``n_kv_heads`` for GQA) are
+    then required. Pass ``rope_style='half'`` only if the target model is
+    configured with half-split RoPE.
 
     The caller stacks per-layer QWs onto the leading layer axis (see
     ``install_gptq_weights``)."""
@@ -89,6 +127,12 @@ def load_gptq_dir(path: str, bits: int = 4, group_size: int = 128,
     for f in sorted(glob.glob(f"{path}/*.safetensors")):
         tensors.update(load_file(f))
 
+    if rope_style == "interleaved" and n_heads is None:
+        raise ValueError(
+            "load_gptq_dir: n_heads is required to undo the HF rotary "
+            "permutation for rope_style='interleaved' (pass rope_style="
+            "'half' only if the model uses half-split RoPE)")
+
     out: Dict[str, Dict[int, QuantizedWeight]] = {}
     pat = re.compile(r"model\.layers\.(\d+)\.(.+)\.qweight")
     for name, qw in tensors.items():
@@ -100,9 +144,15 @@ def load_gptq_dir(path: str, bits: int = 4, group_size: int = 128,
         if ours is None:
             continue
         base = f"model.layers.{idx}.{mod}"
-        out.setdefault(ours, {})[idx] = from_gptq(
+        imported = from_gptq(
             qw, tensors[base + ".qzeros"], tensors[base + ".scales"],
             bits=bits, group_size=group_size, act_dtype=act_dtype)
+        if rope_style == "interleaved":
+            if mod == "self_attn.q_proj":
+                imported = unpermute_rope_qw(imported, n_heads)
+            elif mod == "self_attn.k_proj":
+                imported = unpermute_rope_qw(imported, n_kv_heads or n_heads)
+        out.setdefault(ours, {})[idx] = imported
     return out
 
 

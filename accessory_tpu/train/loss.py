@@ -18,13 +18,22 @@ def cross_entropy_loss(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
     ignore_index: int = 0,
+    shift: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Masked mean CE.
+    """Masked mean next-token CE.
 
-    logits: (b, s, vocab) fp32; labels: (b, s) int (ignore_index = masked).
+    logits: (b, s, vocab) fp32; labels: (b, s) int, ALIGNED with the inputs
+    (label[t] is the token at input position t; ignore_index = masked) — the
+    reference dataset convention. With ``shift=True`` (default) we score
+    logits[:, :-1] against labels[:, 1:], exactly the reference shift at
+    meta.py forward (output[:, :-1] vs labels[:, 1:]). ``shift=False`` scores
+    position-for-position (callers that pre-shifted themselves).
     Returns (scalar loss, valid-token count). Matches torch
     CrossEntropyLoss(ignore_index) reduction="mean" semantics.
     """
+    if shift:
+        logits = logits[:, :-1]
+        labels = labels[:, 1:]
     mask = labels != ignore_index
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     safe_labels = jnp.where(mask, labels, 0)

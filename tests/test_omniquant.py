@@ -68,3 +68,40 @@ def test_install_stacked():
     # forward still runs with the imported quantized weight
     logits, _ = llama.forward(params, args, jnp.arange(8)[None] % 64)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_unpermute_rope_qw_matches_dense_unpermute():
+    """GPTQ q/k import must undo the HF half-split rotary permutation
+    (ADVICE r1): quantize an HF-permuted weight, unpermute the QW columns,
+    dequantize — must equal dequantizing the HF-layout QW and unpermuting
+    the dense result via the converter's mapping."""
+    from accessory_tpu.quant.omniquant import unpermute_rope_qw
+    from accessory_tpu.tools.convert_weights_to_hf import (
+        _permute_rope, _unpermute_rope)
+
+    n_heads, hd, in_dim = 4, 16, 64
+    out_dim = n_heads * hd
+    rng = np.random.RandomState(1)
+    w_ours = rng.randn(out_dim, in_dim).astype(np.float32) * 0.05  # (out,in)
+    w_hf = _permute_rope(w_ours, n_heads)  # what HF (and GPTQ) store
+
+    # GPTQ quantizes the HF-layout weight in (K=in, N=out) orientation
+    qweight, qzeros, scales, _ = make_gptq(w_hf.T.copy(), bits=4, gs=32)
+    qw_hf = from_gptq(qweight, qzeros, scales, bits=4, group_size=32,
+                      act_dtype=jnp.float32)
+    qw_ours = unpermute_rope_qw(qw_hf, n_heads)
+
+    deq_hf = np.asarray(dequantize_weight(qw_hf, jnp.float32))    # (in,out)
+    deq_ours = np.asarray(dequantize_weight(qw_ours, jnp.float32))
+    expect = _unpermute_rope(deq_hf.T, n_heads).T
+    np.testing.assert_allclose(deq_ours, expect, rtol=1e-5, atol=1e-6)
+    # and the unpermuted dequant approximates the original interleaved weight
+    assert np.abs(deq_ours - w_ours.T).max() < np.abs(w_ours).max() * 0.2
+
+
+def test_load_gptq_dir_requires_n_heads_for_interleaved():
+    import pytest
+
+    with pytest.raises(ValueError):
+        from accessory_tpu.quant.omniquant import load_gptq_dir
+        load_gptq_dir("/nonexistent")

@@ -40,12 +40,50 @@ def test_cross_entropy_matches_torch_semantics():
 
     logits = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 10), jnp.float32)
     labels = jnp.array([[0, 0, 3, 4, 5, 0], [1, 2, 0, 0, 6, 7]], jnp.int32)
-    ours, n = cross_entropy_loss(logits, labels, ignore_index=0)
+    ours, n = cross_entropy_loss(logits, labels, ignore_index=0, shift=False)
     ref = torch.nn.functional.cross_entropy(
         torch.tensor(np.asarray(logits)).reshape(-1, 10),
         torch.tensor(np.asarray(labels)).reshape(-1).long(), ignore_index=0)
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
     assert int(n) == 7
+
+
+def test_cross_entropy_shift_matches_reference():
+    """The default loss must apply the reference next-token shift
+    (meta.py forward: output[:, :-1] vs labels[:, 1:]) on ALIGNED labels,
+    exactly what the finetune datasets (alpaca/conversation) produce."""
+    import torch
+
+    logits = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 10), jnp.float32)
+    labels = jnp.array([[0, 0, 3, 4, 5, 0], [1, 2, 0, 0, 6, 7]], jnp.int32)
+    ours, n = cross_entropy_loss(logits, labels, ignore_index=0)
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(np.asarray(logits[:, :-1])).reshape(-1, 10),
+        torch.tensor(np.asarray(labels[:, 1:])).reshape(-1).long(),
+        ignore_index=0)
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    assert int(n) == 6
+
+
+def test_finetune_loss_learns_next_token_not_copy():
+    """Regression for the unshifted-loss bug: on a deterministic
+    next-token sequence (t -> t+1), a few train steps must drive the loss
+    toward predicting the NEXT token. With the broken unshifted loss the
+    model would instead learn the identity copy and next-token loss would
+    not drop."""
+    args, params = tiny()
+    tx = make_optimizer(params, 5e-2, clip_norm=1.0)
+    step = jax.jit(make_train_step(llama, args, tx, remat=False))
+    state = TrainState.create(params, tx)
+    # sequence 1,2,...,8 — aligned labels (dataset convention)
+    ex = jnp.tile(jnp.arange(1, 9, dtype=jnp.int32)[None], (4, 1))
+    b = {"examples": ex, "labels": ex}
+    for _ in range(30):
+        state, m = step(state, b)
+    logits, _ = llama.forward(state.params, args, ex)
+    pred = jnp.argmax(logits[0, :-1], axis=-1)
+    # the model must have learned t -> t+1 on most positions
+    assert int(jnp.sum(pred == ex[0, 1:])) >= 5
 
 
 def test_train_step_decreases_loss():
