@@ -32,7 +32,8 @@ QUANT_FILE = "quant.json"
 
 def _qmeta_dict(qw) -> Dict[str, Any]:
     return {"bits": qw.bits, "group_size": qw.group_size, "in_dim": qw.in_dim,
-            "out_dim": qw.out_dim, "act_dtype": str(np.dtype(qw.act_dtype))}
+            "out_dim": qw.out_dim, "act_dtype": str(np.dtype(qw.act_dtype)),
+            "layout": qw.layout, "tile_k": qw.tile_k}
 
 
 def flatten_params(params) -> Dict[str, Any]:
@@ -77,11 +78,7 @@ def save_checkpoint(
         if filter is not None and not filter(base):
             continue
         if key.endswith("#meta"):
-            quant_meta[base] = {
-                "bits": val.bits, "group_size": val.group_size,
-                "in_dim": val.in_dim, "out_dim": val.out_dim,
-                "act_dtype": str(np.dtype(val.act_dtype)),
-            }
+            quant_meta[base] = _qmeta_dict(val)
             continue
         arr = np.asarray(val)
         if arr.dtype == jnp.bfloat16:
@@ -129,6 +126,8 @@ def unflatten_params(flat: Dict[str, Any], quant_meta: Dict[str, Any]):
             bits=int(meta["bits"]), group_size=int(meta["group_size"]),
             in_dim=int(meta["in_dim"]), out_dim=int(meta["out_dim"]),
             act_dtype=jnp.dtype(meta["act_dtype"]),
+            layout=meta.get("layout", "std"),
+            tile_k=int(meta.get("tile_k", 0)),
         )
         _insert(tree, base.split("/"), qw)
     return tree

@@ -191,6 +191,29 @@ def to_magic_layout(qw: QuantizedWeight) -> QuantizedWeight:
         layout="magic", tile_k=tk)
 
 
+def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight:
+    """Repack a std-layout W4 QuantizedWeight for the int8-staged nibble-
+    plane kernel (ops/quant_matmul_planes.py). Host-side one-time; zeros are
+    folded to zeros*scales so the kernel epilogue is q*s - zs."""
+    from accessory_tpu.ops.quant_matmul_planes import (
+        choose_tile_k, repack_for_planes)
+
+    assert qw.layout == "std" and qw.bits == 4
+    tk = choose_tile_k(qw.in_dim, qw.group_size, max_tk)
+    if qw.packed.ndim == 3:  # stacked layers
+        L = qw.packed.shape[0]
+        pm = jnp.stack([repack_for_planes(qw.packed[i], qw.in_dim, tk)
+                        for i in range(L)])
+    else:
+        pm = repack_for_planes(qw.packed, qw.in_dim, tk)
+    s = qw.scales.astype(jnp.float32)
+    zs = qw.zeros.astype(jnp.float32) * s
+    return QuantizedWeight(
+        packed=pm, scales=s, zeros=zs, bits=4, group_size=qw.group_size,
+        in_dim=qw.in_dim, out_dim=qw.out_dim, act_dtype=qw.act_dtype,
+        layout="planes", tile_k=tk)
+
+
 def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
     """XLA reference dequant → (in_dim, out_dim) dense weight (std layout)."""
     assert qw.layout == "std", "dequantize magic-layout via the kernel"
@@ -213,6 +236,16 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
     if x.shape[-1] < qw.in_dim:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, qw.in_dim - x.shape[-1])]
         x = jnp.pad(x, pad)
+
+    if qw.layout == "planes":
+        from accessory_tpu.ops.quant_matmul_planes import planes_qmm
+
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
+        out = planes_qmm(x2d, qw.packed, qw.scales, qw.zeros,
+                         group_size=qw.group_size, tk=qw.tile_k,
+                         interpret=jax.default_backend() != "tpu")
+        return out.reshape(*lead, qw.out_dim)
 
     if qw.layout == "magic":
         from accessory_tpu.ops.quant_matmul_magic import magic_qmm

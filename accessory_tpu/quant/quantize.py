@@ -44,14 +44,28 @@ def quantize_params(
     blocklist: Sequence[str] = DEFAULT_BLOCKLIST,
     quantize_output: bool = False,
     predicate: Callable[[str, jnp.ndarray], bool] | None = None,
+    layout: str = "auto",
 ):
     """Return a params pytree with eligible 2-D weights quantized.
 
     Eligible: ndim == 2 (or stacked-layer ndim == 3, quantized per layer along
     axis 0), floating dtype, in_dim divisible by group_size, path not in
     blocklist.
+
+    ``layout``: "std" | "planes" | "auto" (planes on TPU for W4 — the
+    int8-staged kernel layout, ops/quant_matmul_planes.py; std elsewhere,
+    where the XLA fallback / interpret mode serves).
     """
+    if layout == "auto":
+        layout = ("planes" if bits == 4 and jax.default_backend() == "tpu"
+                  else "std")
     block = tuple(blocklist) + (() if quantize_output else ("output",))
+
+    def maybe_planes(qw):
+        if layout != "planes":
+            return qw
+        from accessory_tpu.quant.qtensor import to_planes_layout
+        return to_planes_layout(qw)
 
     def visit(path, leaf):
         if not isinstance(leaf, jnp.ndarray) and not hasattr(leaf, "dtype"):
@@ -69,24 +83,28 @@ def quantize_params(
             return 1024 if in_dim >= 1024 else group_size
 
         if leaf.ndim == 2 and leaf.shape[0] % group_size == 0:
-            return quantize_weight(leaf, bits=bits, group_size=group_size,
-                                   act_dtype=leaf.dtype,
-                                   pad_in_to=pad_to(leaf.shape[0]))
+            return maybe_planes(
+                quantize_weight(leaf, bits=bits, group_size=group_size,
+                                act_dtype=leaf.dtype,
+                                pad_in_to=pad_to(leaf.shape[0])))
         if leaf.ndim == 3 and leaf.shape[1] % group_size == 0:
             # stacked layers (L, in, out): quantize each layer, stack pytrees
-            qws = [quantize_weight(leaf[i], bits=bits, group_size=group_size,
-                                   act_dtype=leaf.dtype,
-                                   pad_in_to=pad_to(leaf.shape[1]))
+            qws = [maybe_planes(
+                       quantize_weight(leaf[i], bits=bits,
+                                       group_size=group_size,
+                                       act_dtype=leaf.dtype,
+                                       pad_in_to=pad_to(leaf.shape[1])))
                    for i in range(leaf.shape[0])]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *qws)
         if leaf.ndim == 4 and leaf.shape[2] % group_size == 0:
             # stacked MoE experts (L, E, in, out)
             qls = []
             for l in range(leaf.shape[0]):
-                qes = [quantize_weight(leaf[l, e], bits=bits,
-                                       group_size=group_size,
-                                       act_dtype=leaf.dtype,
-                                       pad_in_to=pad_to(leaf.shape[2]))
+                qes = [maybe_planes(
+                           quantize_weight(leaf[l, e], bits=bits,
+                                           group_size=group_size,
+                                           act_dtype=leaf.dtype,
+                                           pad_in_to=pad_to(leaf.shape[2])))
                        for e in range(leaf.shape[1])]
                 qls.append(jax.tree.map(lambda *xs: jnp.stack(xs), *qes))
             return jax.tree.map(lambda *xs: jnp.stack(xs), *qls)

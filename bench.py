@@ -70,6 +70,8 @@ def _host_synthetic_w4(args, group_size=128):
             and jnp.issubdtype(s.dtype, jnp.floating)
             and s.ndim == 3 and s.shape[1] % group_size == 0)
         if quantizable:
+            from accessory_tpu.ops.quant_matmul_planes import choose_tile_k
+
             L, k, n = s.shape
             packed = rng.randint(0, 2 ** 32, size=(L, k // 8, n),
                                  dtype=np.uint32)
@@ -77,10 +79,14 @@ def _host_synthetic_w4(args, group_size=128):
                                  ).astype(np.float32)
             zeros = np.round(rng.uniform(0, 15, size=scales.shape)
                              ).astype(np.float32)
+            # random packed words are a valid "planes" packing of (other)
+            # random nibbles — build in the fast int8-staged kernel layout
+            # directly (zeros slot holds the folded zeros*scales)
             return QuantizedWeight(
                 packed=jnp.asarray(packed), scales=jnp.asarray(scales),
-                zeros=jnp.asarray(zeros), bits=4, group_size=group_size,
-                in_dim=k, out_dim=n)
+                zeros=jnp.asarray(zeros * scales), bits=4,
+                group_size=group_size, in_dim=k, out_dim=n,
+                layout="planes", tile_k=choose_tile_k(k, group_size))
         return jnp.asarray(np.resize(base, s.shape), dtype=s.dtype)
 
     import jax.tree_util as jtu

@@ -62,7 +62,10 @@ def weight_bytes(tree):
 
 def random_qweight(key, shape, group_size=128, stacked=True):
     """Synthetic W4 weight with random packed data — avoids materializing
-    the full bf16 tensor (a 7B bf16 init + quantize OOMs the 16GB chip)."""
+    the full bf16 tensor (a 7B bf16 init + quantize OOMs the 16GB chip).
+    Built directly in the int8-staged "planes" kernel layout (random words
+    are a valid planes packing of random nibbles; zeros = folded z*s)."""
+    from accessory_tpu.ops.quant_matmul_planes import choose_tile_k
     from accessory_tpu.quant.qtensor import QuantizedWeight
 
     *lead, k, n = shape
@@ -73,8 +76,9 @@ def random_qweight(key, shape, group_size=128, stacked=True):
                                 jnp.float32, 1e-3, 2e-3)
     zeros = jnp.round(jax.random.uniform(ks[2], (*lead, k // group_size, n),
                                          jnp.float32, 0, 15))
-    return QuantizedWeight(packed=packed, scales=scales, zeros=zeros, bits=4,
-                           group_size=group_size, in_dim=k, out_dim=n)
+    return QuantizedWeight(packed=packed, scales=scales, zeros=zeros * scales,
+                           bits=4, group_size=group_size, in_dim=k, out_dim=n,
+                           layout="planes", tile_k=choose_tile_k(k, group_size))
 
 
 def synthetic_quantized_params(init_fn, key, group_size=128):

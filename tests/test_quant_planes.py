@@ -1,0 +1,100 @@
+"""Int8-staged nibble-plane W4 kernel (ops/quant_matmul_planes.py) vs XLA
+reference — interpret mode on CPU; the real-TPU numbers are in
+BENCHMARKS.md (562 GB/s effective vs 379 for the v1 kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accessory_tpu.ops.quant_matmul_planes import (
+    choose_tile_k, planes_qmm, repack_for_planes)
+from accessory_tpu.quant.qtensor import (
+    QuantizedWeight, dequantize_weight, quant_matmul, quantize_weight,
+    to_planes_layout)
+
+
+def _mk(k, n, gs, seed=0, act=jnp.float32):
+    kx, kw = jax.random.split(jax.random.PRNGKey(seed))
+    w = jax.random.normal(kw, (k, n), jnp.float32) * k ** -0.5
+    qw = quantize_weight(w, bits=4, group_size=gs, act_dtype=act)
+    return qw
+
+
+@pytest.mark.parametrize("m,k,n,gs", [(8, 512, 128, 128), (8, 1024, 256, 128),
+                                      (16, 512, 256, 64), (100, 512, 384, 128)])
+def test_planes_matches_xla_reference(m, k, n, gs):
+    qw = _mk(k, n, gs)
+    qp = to_planes_layout(qw)
+    assert qp.layout == "planes" and qp.tile_k > 0
+    x = jax.random.normal(jax.random.PRNGKey(7), (m, k), jnp.float32)
+    ref = jnp.dot(x, dequantize_weight(qw, jnp.float32))
+    out = planes_qmm(x, qp.packed, qp.scales, qp.zeros,
+                     group_size=gs, tk=qp.tile_k, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-2, atol=scale * 1e-2)
+
+
+def test_planes_bf16_epilogue_close():
+    qw = _mk(512, 256, 128)
+    qp = to_planes_layout(qw)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 512), jnp.float32)
+    ref = jnp.dot(x, dequantize_weight(qw, jnp.float32))
+    out = planes_qmm(x, qp.packed, qp.scales, qp.zeros, group_size=128,
+                     tk=qp.tile_k, precise=False, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-2, atol=scale * 3e-2)
+
+
+def test_repack_roundtrip_layout():
+    """The plane packing is a pure permutation: unpacking planes per the
+    documented mapping recovers every nibble."""
+    from accessory_tpu.quant.qtensor import pack_int, unpack_int
+
+    rng = np.random.RandomState(0)
+    K, N, TK = 256, 128, 64
+    q = rng.randint(0, 16, (K, N))
+    packed = pack_int(jnp.asarray(q), 4)
+    planes = np.asarray(repack_for_planes(packed, K, TK))
+    # manual unpack: word w of tile t, byte b, low nibble -> row t*TK + 4w+b
+    got = np.zeros((K, N), np.int64)
+    wpt = TK // 8
+    for t in range(K // TK):
+        for w in range(wpt):
+            word = planes[t * wpt + w]
+            for b in range(4):
+                got[t * TK + 4 * w + b] = (word >> (8 * b)) & 0xF
+                got[t * TK + TK // 2 + 4 * w + b] = (word >> (8 * b + 4)) & 0xF
+    np.testing.assert_array_equal(got, q)
+
+
+def test_quant_matmul_dispatches_planes():
+    qw = _mk(512, 128, 128)
+    qp = to_planes_layout(qw)
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 512), jnp.float32)
+    ref = quant_matmul(x, qw, use_pallas=False)
+    out = quant_matmul(x, qp)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-2, atol=scale * 1e-2)
+
+
+def test_quantize_params_planes_layout():
+    from accessory_tpu.quant.quantize import quantize_params
+
+    params = {"layers": {"w": jax.random.normal(jax.random.PRNGKey(0),
+                                                (2, 256, 128)) * 0.05},
+              "norm": {"weight": jnp.ones((8,))}}
+    qp = quantize_params(params, group_size=64, layout="planes")
+    leaf = qp["layers"]["w"]
+    assert isinstance(leaf, QuantizedWeight)
+    assert leaf.layout == "planes" and leaf.packed.shape[0] == 2
+
+
+def test_choose_tile_k():
+    assert choose_tile_k(4096, 128) == 2048
+    assert choose_tile_k(11264, 128) == 1024
+    assert choose_tile_k(512, 128) == 512
+    assert choose_tile_k(64, 16) == 64
