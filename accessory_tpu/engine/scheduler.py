@@ -2,17 +2,29 @@
 
 The reference has no scheduler — its generate() runs one static batch to
 completion (meta.py:371-467) and serving wraps single requests
-(multi_gpu_wrapper.py). This is the BASELINE.json "continuous batching"
-engine: fixed decode slots share one HBM page pool; new requests are
-admitted into free slots between decode steps, finished sequences release
-their slot immediately, and every decode step advances ALL active slots in
-one jitted call.
+(multi_gpu_wrapper.py:143-321). This is the BASELINE.json "continuous
+batching" engine: fixed decode slots share one HBM page pool; new requests
+are admitted into free slots between decode steps, finished sequences
+release their pages immediately, and every decode step advances ALL active
+slots in one jitted call.
 
-Host/device split:
-  * device (jit): slot prefill (bucketed prompt lengths) and the fused
-    B-slot decode step over the paged pool (forward_paged)
-  * host: request queue, slot allocation, sampling bookkeeping, stop
-    detection, detokenization
+Design (vLLM-style block manager, TPU-shaped):
+  * PagePool (engine/kvcache.py): host-side free-page allocator. Pages are
+    allocated on admission (ceil(prompt/ps)) and grown one page at a time as
+    decode crosses page boundaries; released on finish. When the pool is
+    exhausted the YOUNGEST active sequence is preempted — its pages are
+    released and it re-queues with prompt+generated as the new prompt
+    (recompute-on-resume).
+  * Batched prefill: all admissions in a step share one jitted prefill at a
+    common bucketed length — no per-request compile/dispatch.
+  * On-device sampling: the decode jit ends with per-slot temperature/top-p
+    sampling (ops/sampling.sample_token_batched); the host fetches only a
+    (slots,) token vector per step (a (slots, vocab) logits fetch costs
+    ~30 ms through the relay).
+  * Context bucketing: decode attention gathers only the first
+    ``active_pages`` logical pages (next power of two of the longest active
+    context), so HBM traffic scales with actual context, not max_seq_len.
+  * Multi-token stop sequences, matched on host (reference meta.py:452-458).
 
 SPMD note: on a multi-host mesh every host must run identical programs; the
 scheduler state is deterministic given the request stream, matching the
@@ -22,17 +34,23 @@ reference's "same input on all ranks" discipline (SPHINX/inference.py:26-28).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from accessory_tpu.engine.kvcache import PagePool
 
 _BUCKET = 64
 
 
 def _round_up(x: int, m: int = _BUCKET) -> int:
     return max(m, (x + m - 1) // m * m)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1).bit_length())
 
 
 @dataclasses.dataclass
@@ -44,12 +62,30 @@ class Request:
     top_p: float = 0.95
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # preemption bookkeeping: generated tokens folded into prompt_tokens on
+    # preempt; orig_prompt_len recovers the true completion
+    orig_prompt_len: int = -1
+    prefix_gen: int = 0
+    admit_seq: int = 0  # admission order, for youngest-first preemption
+
+    def __post_init__(self):
+        if self.orig_prompt_len < 0:
+            self.orig_prompt_len = len(self.prompt_tokens)
+
+    @property
+    def output_tokens(self) -> List[int]:
+        return self.prompt_tokens[self.orig_prompt_len:] + self.generated
+
+    @property
+    def n_generated(self) -> int:
+        return self.prefix_gen + len(self.generated)
 
 
 class ContinuousBatcher:
     def __init__(self, module, args, params, tokenizer, slots: int = 8,
                  page_size: int = 64, pages_per_seq: Optional[int] = None,
-                 seed: int = 0):
+                 total_pages: Optional[int] = None, seed: int = 0,
+                 stop_symbols: Iterable[str] = ()):
         self.module = module
         self.args = args
         self.params = params
@@ -57,21 +93,47 @@ class ContinuousBatcher:
         self.slots = slots
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
-        total_pages = slots * self.pages_per_seq
+        # +1 for the reserved trash page; default pool still covers the worst
+        # case — servers shrink total_pages to oversubscribe contexts
+        self.total_pages = total_pages or (slots * self.pages_per_seq + 1)
+        self.pool = PagePool(self.total_pages)
         self.pcache = module.init_paged_cache(
-            args, slots=slots, total_pages=total_pages, page_size=page_size,
-            pages_per_seq=self.pages_per_seq)
-        self.active: Dict[int, Optional[Request]] = {i: None for i in range(slots)}
+            args, slots=slots, total_pages=self.total_pages,
+            page_size=page_size, pages_per_seq=self.pages_per_seq)
+
+        # host mirrors of the device page table / lengths
+        self.page_table = np.full((slots, self.pages_per_seq), PagePool.TRASH,
+                                  np.int32)
+        self.h_len = np.zeros((slots,), np.int32)
+        self.slot_pages: Dict[int, List[int]] = {s: [] for s in range(slots)}
+        self.pcache = dataclasses.replace(
+            self.pcache, page_indices=jnp.asarray(self.page_table))
+
+        self.active: Dict[int, Optional[Request]] = {
+            i: None for i in range(slots)}
         self.pending: List[Request] = []
         self.finished: List[Request] = []
         self._uid = 0
+        self._admit_seq = 0
         self._key = jax.random.PRNGKey(seed)
         self._prefill_cache = {}
-        self._decode = jax.jit(
-            lambda p, t, c: module.forward_paged(p, args, t, c),
-            donate_argnums=(2,))
+        self._decode_cache = {}
+        self.stop_seqs: Tuple[Tuple[int, ...], ...] = self._stop_token_seqs(
+            stop_symbols)
 
     # ------------------------------------------------------------------
+
+    def _stop_token_seqs(self, stop_symbols: Iterable[str]):
+        seqs = [(self.tokenizer.eos_id,)]
+        for s in stop_symbols:
+            seqs.append(tuple(self.tokenizer.encode_segment(s)))
+            seqs.append(tuple(self.tokenizer.encode_wo_prefix_space(s)))
+        seen, out = set(), []
+        for s in seqs:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return tuple(out)
 
     def add_request(self, prompt: str, max_gen_len: int = 128,
                     temperature: float = 0.0, top_p: float = 0.95) -> int:
@@ -82,95 +144,221 @@ class ContinuousBatcher:
                                     temperature, top_p))
         return self._uid
 
-    def _prefill_fn(self, plen: int):
-        if plen not in self._prefill_cache:
-            self._prefill_cache[plen] = jax.jit(
-                lambda p, t, c: self.module.forward_paged(p, self.args, t, c),
-                donate_argnums=(2,))
-        return self._prefill_cache[plen]
+    # ------------------------------------------------------------------
+    # compiled steps
+
+    def _prefill_fn(self, g: int, bucket: int):
+        key = (g, bucket)
+        if key not in self._prefill_cache:
+            from accessory_tpu.ops.sampling import sample_token_batched
+
+            def prefill(p, toks, sub, plens, k, temps, topps):
+                logits, sub = self.module.forward_paged(p, self.args, toks,
+                                                        sub)
+                last = jnp.take_along_axis(
+                    logits, (plens - 1)[:, None, None], axis=1)[:, 0]
+                nxt = sample_token_batched(last, k, temps, topps)
+                return nxt, sub
+
+            self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(2,))
+        return self._prefill_cache[key]
+
+    def _decode_fn(self, active_pages: int):
+        if active_pages not in self._decode_cache:
+            from accessory_tpu.ops.sampling import sample_token_batched
+
+            def step(p, toks, c, k, temps, topps):
+                logits, c = self.module.forward_paged(
+                    p, self.args, toks, c, active_pages=active_pages)
+                nxt = sample_token_batched(logits[:, -1], k, temps, topps)
+                return nxt, c
+
+            self._decode_cache[active_pages] = jax.jit(
+                step, donate_argnums=(2,))
+        return self._decode_cache[active_pages]
+
+    # ------------------------------------------------------------------
+    # paging
+
+    def _release_slot(self, slot: int) -> None:
+        self.pool.release(self.slot_pages[slot])
+        self.slot_pages[slot] = []
+        self.page_table[slot, :] = PagePool.TRASH
+        self.h_len[slot] = 0
+        self.active[slot] = None
+
+    def _preempt_youngest(self) -> bool:
+        """Requeue the most recently admitted active request, releasing its
+        pages. Returns False if nothing is preemptible."""
+        act = [(r.admit_seq, s) for s, r in self.active.items()
+               if r is not None]
+        if not act:
+            return False
+        _, slot = max(act)
+        req = self.active[slot]
+        req.prompt_tokens = req.prompt_tokens + req.generated
+        req.prefix_gen += len(req.generated)
+        req.generated = []
+        self._release_slot(slot)
+        self.pending.insert(0, req)
+        return True
+
+    def _grow_pages(self, slot: int) -> bool:
+        """Ensure the slot has a page for the next write position."""
+        need = int(self.h_len[slot]) // self.page_size
+        while need >= len(self.slot_pages[slot]):
+            pg = self.pool.alloc(1)
+            if pg is None:
+                return False
+            self.page_table[slot, len(self.slot_pages[slot])] = pg[0]
+            self.slot_pages[slot].append(pg[0])
+        return True
+
+    # ------------------------------------------------------------------
 
     def _admit(self) -> List[Tuple[int, int]]:
-        """Fill free slots from the queue; prefill each admitted request.
-        Returns [(slot, first sampled token)]."""
-        first_tokens = []
+        """Batch-admit from the queue into free slots: allocate pages, run
+        ONE bucketed prefill for the whole group, sample first tokens on
+        device. Returns [(slot, first_token)]."""
+        group: List[Tuple[int, Request]] = []
         for slot in range(self.slots):
             if self.active[slot] is not None or not self.pending:
                 continue
-            req = self.pending.pop(0)
+            req = self.pending[0]
             plen = len(req.prompt_tokens)
-            bucket = min(_round_up(plen), self.pages_per_seq * self.page_size)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :plen] = req.prompt_tokens
+            n_pages = -(-plen // self.page_size)
+            # +1 headroom so the first decode steps can't immediately
+            # preempt what we just admitted
+            pages = (self.pool.alloc(n_pages)
+                     if self.pool.free_pages >= n_pages + 1 else None)
+            if pages is None:
+                break  # FIFO — don't admit younger requests past this one
+            self.pending.pop(0)
+            self.slot_pages[slot] = pages
+            self.page_table[slot, :] = PagePool.TRASH
+            self.page_table[slot, :n_pages] = pages
+            self._admit_seq += 1
+            req.admit_seq = self._admit_seq
+            group.append((slot, req))
+        if not group:
+            return []
 
-            sub = dataclasses.replace(
-                self.pcache,
-                page_indices=self.pcache.page_indices[slot: slot + 1],
-                lengths=jnp.zeros((1,), jnp.int32))
-            logits, sub = self._prefill_fn(bucket)(
-                self.params, jnp.asarray(toks), sub)
-            # adopt the updated pool; slot length = true prompt length (the
-            # bucket's junk tail is overwritten as decode proceeds)
-            self.pcache = dataclasses.replace(
-                self.pcache, k_pages=sub.k_pages, v_pages=sub.v_pages,
-                lengths=self.pcache.lengths.at[slot].set(plen))
-            nxt = self._sample(np.asarray(logits[0, plen - 1])[None], req)[0]
-            req.generated.append(int(nxt))
+        g = len(group)
+        plens = np.array([len(r.prompt_tokens) for _, r in group], np.int32)
+        bucket = min(_round_up(int(plens.max())),
+                     self.pages_per_seq * self.page_size)
+        toks = np.zeros((g, bucket), np.int32)
+        for i, (_, r) in enumerate(group):
+            toks[i, :plens[i]] = r.prompt_tokens
+        gslots = np.array([s for s, _ in group])
+
+        sub = dataclasses.replace(
+            self.pcache,
+            page_indices=jnp.asarray(self.page_table[gslots]),
+            lengths=jnp.zeros((g,), jnp.int32))
+        self._key, k = jax.random.split(self._key)
+        temps = jnp.asarray([r.temperature for _, r in group], jnp.float32)
+        topps = jnp.asarray([r.top_p for _, r in group], jnp.float32)
+        nxt, sub = self._prefill_fn(g, bucket)(
+            self.params, jnp.asarray(toks), sub, jnp.asarray(plens), k,
+            temps, topps)
+        nxt = np.asarray(nxt)
+
+        # adopt the updated pools; set admitted lengths
+        self.h_len[gslots] = plens
+        self.pcache = dataclasses.replace(
+            self.pcache, k_pages=sub.k_pages, v_pages=sub.v_pages,
+            page_indices=jnp.asarray(self.page_table),
+            lengths=jnp.asarray(self.h_len))
+
+        first = []
+        for i, (slot, req) in enumerate(group):
+            tok = int(nxt[i])
             self.active[slot] = req
-            first_tokens.append((slot, int(nxt)))
-        return first_tokens
+            self._append_token(req, tok)
+            first.append((slot, tok))
+        return first
 
-    def _sample(self, logits: np.ndarray, req: Request) -> np.ndarray:
-        from accessory_tpu.ops.sampling import sample_token
-
-        self._key, sub = jax.random.split(self._key)
-        return np.asarray(sample_token(jnp.asarray(logits), sub,
-                                       req.temperature, req.top_p))
+    def _append_token(self, req: Request, tok: int) -> None:
+        """Append + stop detection (multi-token stop suffix matching,
+        reference meta.py:452-458) + budget check."""
+        req.generated.append(tok)
+        for seq in self.stop_seqs:
+            L = len(seq)
+            if len(req.generated) >= L and tuple(req.generated[-L:]) == seq:
+                req.generated = req.generated[:-L]
+                req.done = True
+                return
+        if req.n_generated >= req.max_gen_len:
+            req.done = True
+        # context capacity: one short of max so the next write always fits
+        if (len(req.prompt_tokens) + len(req.generated)
+                >= self.pages_per_seq * self.page_size - 1):
+            req.done = True
 
     def step(self) -> List[Request]:
         """Admit + one decode step for all active slots; returns newly
         finished requests."""
         self._admit()
+        # retire anything already done at admission (stop hit on first token)
+        done_now: List[Request] = []
+        for s in range(self.slots):
+            req = self.active[s]
+            if req is not None and req.done:
+                done_now.append(req)
+                self.finished.append(req)
+                self._release_slot(s)
+
         act = [s for s, r in self.active.items() if r is not None]
         if not act:
-            return []
+            return done_now
 
-        # feed each slot its last token (pad slot 0 token for idle slots)
+        # grow pages for the next write position; preempt youngest on
+        # exhaustion (never below one active sequence)
+        for s in list(act):
+            while self.active[s] is not None and not self._grow_pages(s):
+                if not self._preempt_youngest():
+                    raise RuntimeError("page pool too small for one sequence")
+            # s itself may have been preempted
+        act = [s for s, r in self.active.items() if r is not None]
+        if not act:
+            return done_now
+
         toks = np.zeros((self.slots, 1), np.int32)
+        temps = np.zeros((self.slots,), np.float32)
+        topps = np.full((self.slots,), 0.95, np.float32)
         for s in act:
             toks[s, 0] = self.active[s].generated[-1]
-        logits, self.pcache = self._decode(
-            self.params, jnp.asarray(toks), self.pcache)
-        logits = np.asarray(logits[:, 0])
+            temps[s] = self.active[s].temperature
+            topps[s] = self.active[s].top_p
 
-        # idle slots were advanced by the batched step too — pin them at 0 so
-        # their scratch writes never walk past their page table
-        idle = [s for s, r in self.active.items() if r is None]
-        if idle:
-            lengths = self.pcache.lengths
-            for s in idle:
-                lengths = lengths.at[s].set(0)
-            self.pcache = dataclasses.replace(self.pcache, lengths=lengths)
+        # context bucket: power-of-two pages covering the longest active
+        # context (the new token rides separately through cached_attention)
+        max_pages = max(1, -(-int(self.h_len[act].max()) // self.page_size))
+        active_pages = min(_next_pow2(max_pages), self.pages_per_seq)
 
-        done_now: List[Request] = []
+        # push host mirrors BEFORE decode: page tables may have grown /
+        # shrunk, and idle-slot lengths must be pinned at 0 (the batched
+        # step advances every slot)
+        self.pcache = dataclasses.replace(
+            self.pcache, page_indices=jnp.asarray(self.page_table),
+            lengths=jnp.asarray(self.h_len))
+
+        self._key, k = jax.random.split(self._key)
+        nxt, self.pcache = self._decode_fn(active_pages)(
+            self.params, jnp.asarray(toks), self.pcache, k,
+            jnp.asarray(temps), jnp.asarray(topps))
+        nxt = np.asarray(nxt)  # (slots,) — the only per-step fetch
+
+        self.h_len[act] += 1
+
         for s in act:
             req = self.active[s]
-            nxt = int(self._sample(logits[s][None], req)[0])
-            if nxt == self.tokenizer.eos_id:
-                req.done = True
-            else:
-                req.generated.append(nxt)
-            total = len(req.prompt_tokens) + len(req.generated)
-            if (len(req.generated) >= req.max_gen_len
-                    or total >= self.pages_per_seq * self.page_size - 1):
-                req.done = True
+            self._append_token(req, int(nxt[s]))
             if req.done:
                 done_now.append(req)
                 self.finished.append(req)
-                self.active[s] = None
-                # release the slot: reset its length (pages are reused)
-                self.pcache = dataclasses.replace(
-                    self.pcache,
-                    lengths=self.pcache.lengths.at[s].set(0))
+                self._release_slot(s)
         return done_now
 
     def run(self, prompts: List[str], max_gen_len: int = 64,
@@ -181,4 +369,4 @@ class ContinuousBatcher:
         while self.pending or any(r is not None for r in self.active.values()):
             self.step()
         by_uid = {r.uid: r for r in self.finished}
-        return [self.tokenizer.decode(by_uid[i].generated) for i in ids]
+        return [self.tokenizer.decode(by_uid[i].output_tokens) for i in ids]

@@ -322,7 +322,8 @@ def init_paged_cache(args: LLaMAArgs, slots: int, total_pages: int,
                  dtype=dtype or jnp.dtype(args.dtype))
 
 
-def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
+def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
+                  active_pages: Optional[int] = None):
     """Forward against a PagedKVCache (engine/kvcache.py).
 
     Two modes, mirroring forward_inference's prefill/decode split
@@ -373,7 +374,7 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache):
 
         if decode:
             out = paged_cached_attention(
-                q, k, v, kp, vp, old_lengths, page_indices)
+                q, k, v, kp, vp, old_lengths, page_indices, active_pages)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 

@@ -290,7 +290,8 @@ def init_paged_cache(args: MixtralArgs, slots: int, total_pages: int,
 
 
 def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
-                  pcache, moe_impl: str = "ragged"):
+                  pcache, moe_impl: str = "ragged",
+                  active_pages: Optional[int] = None):
     """Paged-cache forward, same contract as llama.forward_paged."""
     import dataclasses
 
@@ -330,7 +331,7 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
 
         if decode:
             out = paged_cached_attention(
-                q, k, v, kp, vp, old_lengths, page_indices)
+                q, k, v, kp, vp, old_lengths, page_indices, active_pages)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 

@@ -164,24 +164,36 @@ def moe_ffn_quant(
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Top-k MoE over W4-quantized experts (BASELINE config 3).
 
-    Per-expert fused dequant+matmuls with mask-combine — every expert's
-    packed weights stream once per step (memory-bound decode reads E/k× the
-    ideal; a capacity-based gather variant can cut this later, but even so
-    the 4-bit footprint beats dense bf16 by 4×)."""
+    Per-expert fused dequant+matmuls with mask-combine. Each expert's
+    SwiGLU triplet is gated behind ``lax.cond`` on whether ANY token routed
+    to it, so untouched experts stream ZERO weight bytes that step — at
+    decode the touched-expert count is min(t*k, E)-ish, and for small
+    batches (interactive bs1 top-2 of 8) this skips ~75% of expert HBM
+    traffic. Touched experts read their full weights once and compute on
+    all t rows (compute is free at decode batch sizes; bytes are the
+    bottleneck). Role: megablocks dispatch, mixtral_sparse.py:378-488."""
     t, d = x.shape
     e = gate_w.shape[1]
     weights, idx, scores = topk_gating(x, gate_w, k)
     combine = jnp.zeros((t, e), jnp.float32)
     combine = combine.at[jnp.arange(t)[:, None], idx].set(weights)
+    touched = jnp.sum(combine, axis=0) > 0  # (E,) any token routed
 
     from accessory_tpu.quant.qtensor import quant_matmul
 
     out = jnp.zeros((t, d), jnp.float32)
-    for ei in range(e):  # static loop: E kernel call triplets
-        gate = jax.nn.silu(quant_matmul(x, _qw_index(qw1, ei)).astype(jnp.float32))
-        up = quant_matmul(x, _qw_index(qw3, ei)).astype(jnp.float32)
-        y = quant_matmul((gate * up).astype(x.dtype), _qw_index(qw2, ei))
-        out = out + combine[:, ei:ei + 1] * y.astype(jnp.float32)
+    for ei in range(e):  # static loop: E cond-gated kernel call triplets
+        q1, q3, q2 = _qw_index(qw1, ei), _qw_index(qw3, ei), _qw_index(qw2, ei)
+
+        def run(x):
+            gate = jax.nn.silu(quant_matmul(x, q1).astype(jnp.float32))
+            up = quant_matmul(x, q3).astype(jnp.float32)
+            y = quant_matmul((gate * up).astype(x.dtype), q2)
+            return y.astype(jnp.float32)
+
+        y = jax.lax.cond(touched[ei], run,
+                         lambda x: jnp.zeros((t, d), jnp.float32), x)
+        out = out + combine[:, ei:ei + 1] * y
 
     aux = None
     if balance_weight is not None:

@@ -45,3 +45,20 @@ def sample_token(
         probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
         return sample_top_p(probs, top_p, key)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_token_batched(
+    logits: jnp.ndarray,       # (b, vocab)
+    key: jax.Array,
+    temperature: jnp.ndarray,  # (b,) per-row; <= 0 means greedy
+    top_p: jnp.ndarray,        # (b,)
+) -> jnp.ndarray:
+    """Per-row temperature/top-p sampling, fully inside jit — the
+    continuous-batching scheduler samples every slot on-device in the decode
+    step (one (b,) int fetch per step instead of (b, vocab) logits; per-token
+    host fetches cost ~30 ms through the relay)."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
+    sampled = sample_top_p(probs, top_p[:, None], key)
+    return jnp.where(temperature > 0, sampled, greedy)

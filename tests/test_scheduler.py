@@ -81,3 +81,62 @@ def test_incremental_admission(model):
         greedy_reference(model, "the quick", 4)
     assert model.tokenizer.decode(by_uid[b].generated) == \
         greedy_reference(model, "hello world", 4)
+
+
+def test_small_pool_paging_and_preemption(model):
+    """Pool far smaller than slots*pages_per_seq: sequences must still all
+    complete correctly via on-demand allocation + youngest-preemption
+    (recompute-on-resume), and the allocator must end balanced."""
+    prompts = ["the quick brown fox", "hello world this is",
+               "jumps over the lazy", "scheduler test the"]
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=4, page_size=32,
+                           total_pages=9)  # 8 usable pages, 4 slots x 8 pps
+    outs = cb.run(prompts, max_gen_len=6)
+    assert len(outs) == 4
+    for p, o in zip(prompts, outs):
+        assert o == greedy_reference(model, p, 6), (p, o)
+    # all pages returned
+    assert cb.pool.free_pages == cb.total_pages - 1
+    assert all(not v for v in cb.slot_pages.values())
+
+
+def test_page_growth_across_boundary(model):
+    """A generation long enough to cross page boundaries allocates pages on
+    demand (page_size=32, prompt+gen > 32)."""
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=1, page_size=32)
+    prompt = "the quick brown fox jumps over the lazy dog " * 2
+    uid = cb.add_request(prompt, max_gen_len=40)
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+    req = cb.finished[0]
+    assert req.uid == uid
+    total = len(req.prompt_tokens) + len(req.generated)
+    assert total > 32  # crossed at least one boundary
+    assert model.tokenizer.decode(req.output_tokens) == \
+        greedy_reference(model, prompt, 40)
+    assert cb.pool.free_pages == cb.total_pages - 1
+
+
+def test_multi_token_stop_sequence(model):
+    """Stop symbols (reference meta.py:452-458) must truncate generation at
+    the matched suffix."""
+    # run once to learn the greedy token ids, then stop on ids 2:4
+    cb0 = ContinuousBatcher(model.module, model.args, model.params,
+                            model.tokenizer, slots=1, page_size=32)
+    cb0.add_request("the quick brown", max_gen_len=8)
+    while cb0.pending or any(r is not None for r in cb0.active.values()):
+        cb0.step()
+    toks = cb0.finished[0].output_tokens
+    assert len(toks) >= 4
+
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=1, page_size=32)
+    cb.stop_seqs = cb.stop_seqs + (tuple(toks[2:4]),)
+    cb.add_request("the quick brown", max_gen_len=8)
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+    # greedy regenerates the same ids; the stop seq fires as soon as both
+    # tokens are emitted and is truncated from the output
+    assert cb.finished[0].output_tokens == toks[:2]
