@@ -129,11 +129,84 @@ def evaluate_mme(model, items: Iterable[Dict], image_root: str = "",
     return res
 
 
+_INSTRUCT_FMT = ("Below is an instruction that describes a task.\n"
+                 "Write a response that appropriately completes the request."
+                 "\n\n### Instruction:\n{q}\n\n### Response:")
+
+
+def _generate_mm(model, question: str, image_path: str,
+                 max_gen_len: int = 512) -> str:
+    """One instruction-formatted multimodal generation (reference
+    eval_mmvet/eval_llavabenchmark generate_output: temperature 0.1,
+    top_p 0.7, alpaca instruction template)."""
+    import numpy as np
+    from PIL import Image
+
+    from accessory_tpu.data.transform import padded_resize
+
+    size = getattr(model.args, "image_size", 224)
+    img = padded_resize(Image.open(image_path).convert("RGB"), size)
+    out = model.generate([_INSTRUCT_FMT.format(q=question)],
+                         images=np.stack([img]), max_gen_len=max_gen_len,
+                         temperature=0.1, top_p=0.7)
+    return out[0]
+
+
+def evaluate_mmvet(model, question_file: str, image_root: str,
+                   answers_file: str, limit=None) -> Dict:
+    """MM-Vet answer-file generator (reference eval_mmvet.py:133-165):
+    writes {question_id: answer} JSON in the format the official MM-Vet
+    GPT-4 grader consumes."""
+    import os
+
+    with open(question_file) as f:
+        data = json.load(f)
+    results = {}
+    for i, (key, value) in enumerate(data.items()):
+        if limit and i >= limit:
+            break
+        results[key] = _generate_mm(
+            model, value["question"],
+            os.path.join(image_root, value["imagename"]))
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    with open(answers_file, "w") as f:
+        f.write(json.dumps(results, indent=4))
+    return {"answered": len(results), "answers_file": answers_file}
+
+
+def evaluate_llava_bench(model, question_file: str, image_root: str,
+                         answers_file: str, model_name: str = "accessory_tpu",
+                         limit=None) -> Dict:
+    """LLaVA-bench(-in-the-wild) answer generator (reference
+    eval_llavabenchmark.py:148-175): jsonl rows the official reviewer
+    scripts consume."""
+    import os
+    import uuid
+
+    questions = [json.loads(q) for q in open(question_file)]
+    if limit:
+        questions = questions[:limit]
+    os.makedirs(os.path.dirname(os.path.abspath(answers_file)), exist_ok=True)
+    n = 0
+    with open(answers_file, "w") as f:
+        for line in questions:
+            out = _generate_mm(model, line["text"],
+                               os.path.join(image_root, line["image"]))
+            f.write(json.dumps({
+                "question_id": line["question_id"], "prompt": line["text"],
+                "text": out, "answer_id": uuid.uuid4().hex[:22],
+                "model_id": model_name, "metadata": {}}) + "\n")
+            n += 1
+    return {"answered": n, "answers_file": answers_file}
+
+
 def main():
     p = argparse.ArgumentParser("multimodal eval", add_help=False)
-    p.add_argument("--task", choices=["vqa", "mme"], required=True)
-    p.add_argument("--data", required=True, help="jsonl annotations")
+    p.add_argument("--task", choices=["vqa", "mme", "mmvet", "llava_bench"],
+                   required=True)
+    p.add_argument("--data", required=True, help="jsonl/json annotations")
     p.add_argument("--image_root", default="")
+    p.add_argument("--answers_file", default="answers.json")
     p.add_argument("--pretrained_path", required=True)
     p.add_argument("--llama_type", default=None)
     p.add_argument("--limit", type=int, default=None)
@@ -143,15 +216,22 @@ def main():
 
     model = SPHINXModel.from_pretrained(
         args.pretrained_path, llama_type=args.llama_type, with_visual=True)
-    items = []
-    with open(args.data) as f:
-        for line in f:
-            items.append(json.loads(line))
-            if args.limit and len(items) >= args.limit:
-                break
-    fn = evaluate_vqa if args.task == "vqa" else evaluate_mme
-    print(json.dumps({"task": args.task,
-                      **fn(model, items, image_root=args.image_root)}))
+    if args.task == "mmvet":
+        res = evaluate_mmvet(model, args.data, args.image_root,
+                             args.answers_file, limit=args.limit)
+    elif args.task == "llava_bench":
+        res = evaluate_llava_bench(model, args.data, args.image_root,
+                                   args.answers_file, limit=args.limit)
+    else:
+        items = []
+        with open(args.data) as f:
+            for line in f:
+                items.append(json.loads(line))
+                if args.limit and len(items) >= args.limit:
+                    break
+        fn = evaluate_vqa if args.task == "vqa" else evaluate_mme
+        res = fn(model, items, image_root=args.image_root)
+    print(json.dumps({"task": args.task, **res}))
 
 
 if __name__ == "__main__":

@@ -24,7 +24,13 @@ import os
 
 def get_args_parser():
     p = argparse.ArgumentParser("evaluation", add_help=False)
-    p.add_argument("--task", required=True, choices=["ppl", "mmlu", "gsm8k"])
+    p.add_argument("--task", required=True,
+                   choices=["ppl", "mmlu", "gsm8k", "bbh", "math",
+                            "humaneval", "ceval", "cmmlu"])
+    p.add_argument("--n_samples", default=1, type=int,
+                   help="humaneval samples per task (pass@k needs n >= k)")
+    p.add_argument("--ntrain", default=5, type=int,
+                   help="few-shot examples (ceval/cmmlu)")
     p.add_argument("--data", required=True, type=str)
     p.add_argument("--pretrained_path", required=True, type=str)
     p.add_argument("--llama_type", default=None, type=str)
@@ -87,6 +93,29 @@ def main(args) -> None:
             target_fn=lambda x: str(x["answer"]).split("####")[-1].strip(),
             stop_symbols=("Question:",))
         print(json.dumps({"task": "gsm8k", **res}))
+    elif args.task == "bbh":
+        from accessory_tpu.eval.tasks import eval_bbh
+        res = eval_bbh(model, args.data, limit=args.limit)
+        print(json.dumps({"task": "bbh", **res}))
+    elif args.task == "math":
+        from accessory_tpu.eval.tasks import eval_math
+        res = eval_math(model, args.data, limit=args.limit)
+        print(json.dumps({"task": "math", **res}))
+    elif args.task == "humaneval":
+        from accessory_tpu.eval.tasks import eval_humaneval
+        res = eval_humaneval(model, args.data, n_samples=args.n_samples,
+                             limit=args.limit)
+        print(json.dumps({"task": "humaneval", **res}))
+    elif args.task == "ceval":
+        from accessory_tpu.eval.tasks import eval_ceval
+        res = eval_ceval(model, args.data, ntrain=args.ntrain,
+                         limit=args.limit)
+        print(json.dumps({"task": "ceval", **res}))
+    elif args.task == "cmmlu":
+        from accessory_tpu.eval.tasks import eval_cmmlu
+        res = eval_cmmlu(model, args.data, ntrain=args.ntrain,
+                         limit=args.limit)
+        print(json.dumps({"task": "cmmlu", **res}))
 
 
 if __name__ == "__main__":

@@ -55,9 +55,14 @@ def _tower_cfgs(args: SphinxArgs):
     vit = ViTConfig(image_size=224, patch_size=args.vit_patch,
                     width=args.clip_width, layers=args.clip_layers,
                     heads=args.clip_heads, act="quick_gelu")
+    # DINOv2 block style (facebook/dinov2-giant): LayerScale + SwiGLU FFN,
+    # no pre-LN, eps 1e-6 — required for real-weight import
+    # (checkpoint/visual_import.convert_hf_dinov2)
     dino = ViTConfig(image_size=224, patch_size=args.vit_patch,
                      width=args.dino_width, layers=args.dino_layers,
-                     heads=args.dino_heads, act="gelu")
+                     heads=args.dino_heads, act="gelu", ln_pre=False,
+                     layerscale=True, ffn="swiglu", norm_eps=1e-6,
+                     patch_bias=True)
     conv = ConvNeXtConfig(depths=tuple(args.convnext_depths),
                           dims=tuple(args.convnext_dims))
     qf = QFormerConfig(n_queries=32, width=args.qformer_width,

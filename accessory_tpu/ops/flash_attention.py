@@ -28,11 +28,14 @@ def flash_available(q_len: int, kv_len: int, causal: bool, head_dim: int) -> boo
         return False
     if jax.default_backend() != "tpu":
         return False
-    # kernel constraints: self-attention shape, 128-divisible sequence (the
-    # kernel's block_k_major — e.g. multimodal splices like 259+64=323 must
-    # take the XLA path), lane-aligned head dim
+    # kernel constraints: self-attention shape, lane-aligned head dim.
+    # Non-128-divisible lengths (e.g. the SPHINX multimodal splice 259+64 =
+    # 323 tokens) are zero-padded at the END inside flash_attention_tpu —
+    # exact for causal masks: real query i < L only attends keys <= i < L,
+    # so padded keys are causally masked out and padded query rows are
+    # sliced off.
     return (causal and q_len == kv_len and q_len >= 128
-            and q_len % 128 == 0 and head_dim in (64, 128, 256))
+            and head_dim in (64, 128, 256))
 
 
 def flash_attention_tpu(
@@ -50,10 +53,18 @@ def flash_attention_tpu(
     if n_rep > 1:
         k = jnp.repeat(k, n_rep, axis=2)
         v = jnp.repeat(v, n_rep, axis=2)
+    # pad-and-mask: causal masking makes end-padding exact (see
+    # flash_available); kernel block sizes need a 128-divisible sequence
+    pad = (-sq) % 128
+    if pad:
+        assert causal, "end-padding is only exact under a causal mask"
+        zpad = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, zpad), jnp.pad(k, zpad), jnp.pad(v, zpad)
     qt = q.transpose(0, 2, 1, 3)  # (b, h, s, d)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     out = flash_attention(
         qt, kt, vt, causal=causal,
         sm_scale=scale if scale is not None else hd ** -0.5)
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    out = out.transpose(0, 2, 1, 3).astype(q.dtype)
+    return out[:, :sq] if pad else out
