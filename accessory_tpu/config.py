@@ -277,7 +277,7 @@ ARGS_REGISTRY: Dict[str, Any] = {
 
 def _sphinx_visual_for(llama_type: str) -> str:
     return {
-        "llama_ens": "ens", "llama_ens5": "ens5", "llama_ens5p2": "ens5",
+        "llama_ens": "ens", "llama_ens5": "ens5", "llama_ens5p2": "ens5p2",
         "llama_ens10": "ens5", "llama_ens_peft": "ens",
         "llama_ens_light": "ens_light", "llama_ens5_light": "ens5_light",
         "mixtral_sparse_ens": "ens", "mixtral_sparse_ens5": "ens5",

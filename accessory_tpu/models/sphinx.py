@@ -90,6 +90,13 @@ def n_crops(args: SphinxArgs) -> int:
 
 
 def image_words(args: SphinxArgs) -> int:
+    if args.visual == "ens5p2":
+        # reference llama_ens5p2.py:335: 32+257+2 main view + per sub-crop
+        # 32 qformer + 1 cls + (patches/4) pooled + 2 tags
+        vit, *_ = _tower_cfgs(args)
+        main = 32 + vit.n_tokens + 2
+        part = 32 + 1 + vit.n_patches // 4 + 2
+        return main + part * (n_crops(args) - 1)
     return words_per_crop(args) * n_crops(args)
 
 
@@ -227,12 +234,41 @@ def encode_image(params: Params, args: SphinxArgs,
     else:
         tokens = ens
 
+    k = n_crops(args)
+    b = bc // k
+
+    if args.visual == "ens5p2" and k > 1:
+        # exact ens5p2 word layout (llama_ens5p2.py:377-460): the main view
+        # keeps all patch tokens; each sub-crop's 16x16 patch grid is
+        # bilinearly pooled 2x to 8x8 (cls kept). We pool AFTER visual_proj
+        # — bilinear resize and the linear projection commute exactly, the
+        # reference pools the 5632-d pre-proj features.
+        d = args.dim
+        n_tok = ens.shape[1]
+        qf_ = qfeat.reshape(b, k, qfeat.shape[1], d)
+        ens_ = ens.reshape(b, k, n_tok, d)
+        views = [jnp.concatenate([qf_[:, 0], ens_[:, 0]], axis=1)]
+        gg = int(round((n_tok - 1) ** 0.5))
+        for v in range(1, k):
+            pv = ens_[:, v]
+            cls, patch = pv[:, :1], pv[:, 1:1 + gg * gg]
+            patch = patch.reshape(b, gg, gg, d)
+            patch = jax.image.resize(patch, (b, gg // 2, gg // 2, d),
+                                     "linear")
+            patch = patch.reshape(b, (gg // 2) ** 2, d)
+            views.append(jnp.concatenate([qf_[:, v], cls, patch], axis=1))
+        out = []
+        for vtok in views:
+            s = jnp.broadcast_to(vis["start_img"], (b, 1, d))
+            e = jnp.broadcast_to(vis["end_img"], (b, 1, d))
+            out.append(jnp.concatenate([s, vtok, e], axis=1))
+        tokens = jnp.concatenate(out, axis=1)
+        return tokens.astype(jnp.dtype(args.dtype))
+
     start = jnp.broadcast_to(vis["start_img"], (bc, 1, args.dim))
     end = jnp.broadcast_to(vis["end_img"], (bc, 1, args.dim))
     tokens = jnp.concatenate([start, tokens, end], axis=1)  # (bc, wpc, dim)
 
-    k = n_crops(args)
-    b = bc // k
     tokens = tokens.reshape(b, k * tokens.shape[1], args.dim)
     return tokens.astype(jnp.dtype(args.dtype))
 

@@ -190,3 +190,32 @@ def test_ens10_crop_grid():
     imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 672, 672))
     toks = sphinx.encode_image(params, args, imgs)
     assert toks.shape == (1, 10 * sphinx.words_per_crop(args), args.dim)
+
+
+def test_ens5p2_exact_word_layout():
+    """llama_ens5p2.py:335 layout: main view keeps all patch tokens; each
+    sub-crop pools its patch grid 2x (32 qformer + 1 cls + patches/4 + 2
+    tags). image_words and encode_image must agree exactly."""
+    args = SphinxArgs(**TINY, visual="ens5p2", image_size=448)
+    vit, *_ = sphinx._tower_cfgs(args)
+    expect = (32 + vit.n_tokens + 2) + (32 + 1 + vit.n_patches // 4 + 2) * 4
+    assert sphinx.image_words(args) == expect
+    params = sphinx.init_params(jax.random.PRNGKey(0), args)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 448, 448))
+    toks = sphinx.encode_image(params, args, imgs)
+    assert toks.shape == (2, expect, args.dim)
+    assert np.isfinite(np.asarray(toks)).all()
+    # production numbers: 257-token towers -> 32+257+2 + (32+1+64+2)*4 = 687
+    prod = SphinxArgs(visual="ens5p2", image_size=448)
+    assert sphinx.image_words(prod) == 32 + 257 + 2 + (32 + 1 + 64 + 2) * 4
+
+
+def test_ens5p2_forward_with_image():
+    args = SphinxArgs(**{**TINY, "max_seq_len": 640}, visual="ens5p2",
+                      image_size=448)
+    params = sphinx.init_params(jax.random.PRNGKey(0), args)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 448, 448))
+    toks = jnp.ones((1, 8), jnp.int32)
+    logits, _ = sphinx.forward(params, args, toks, images=imgs)
+    assert logits.shape == (1, 8, args.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
