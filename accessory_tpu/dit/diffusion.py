@@ -1,16 +1,26 @@
-"""Gaussian diffusion: schedules, training losses, DDPM/DDIM sampling, CFG.
+"""Gaussian diffusion: schedules, exact hybrid losses, respacing, samplers.
 
-Reference: Large-DiT-*/diffusion/ (gaussian_diffusion.py ~900 LoC) — the
-OpenAI ADM formulation: linear/cosine beta schedules, q(x_t|x_0) sampling,
-hybrid eps-MSE + VB loss for learned sigma, ancestral sampling, DDIM, and
-classifier-free guidance. Implemented as a small functional class whose
-samplers are jit/scan-compatible.
+Reference: Large-DiT-*/diffusion/ (gaussian_diffusion.py ~900 LoC,
+respace.py, diffusion_utils.py) — the OpenAI ADM formulation. This is the
+TPU-functional redesign: every sampler is one ``lax.scan`` (jit-friendly,
+no Python step loops at runtime), schedules precompute into device
+constants, and respacing produces a new ``GaussianDiffusion`` whose
+``timestep_map`` rewrites model-facing timesteps.
+
+Covered (reference parity):
+  * linear / cosine / squaredcos_cap_v2 beta schedules
+  * ModelVarType: learned_range (default), fixed_small, fixed_large
+  * exact hybrid loss: per-example eps-MSE + true VB term (KL between the
+    q posterior and p with FROZEN mean, discretized gaussian NLL at t=0),
+    rescaled by T/1000 (gaussian_diffusion.py:716-775)
+  * timestep respacing incl. "ddimN" strides (respace.py:12-63)
+  * DDPM ancestral + DDIM samplers, classifier-free guidance wrapper
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable, Iterable, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -31,20 +41,89 @@ def cosine_beta_schedule(T: int, s: float = 0.008) -> np.ndarray:
     return np.clip(betas, 0, 0.999)
 
 
+def space_timesteps(num_timesteps: int,
+                    section_counts: Union[str, Sequence[int]]) -> set:
+    """Pick a timestep subset (reference respace.space_timesteps semantics):
+    "ddimN" uses the fixed DDIM stride; otherwise comma-separated section
+    counts stride equally-sized portions of the original process."""
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            want = int(section_counts[len("ddim"):])
+            for stride in range(1, num_timesteps):
+                if len(range(0, num_timesteps, stride)) == want:
+                    return set(range(0, num_timesteps, stride))
+            raise ValueError(
+                f"cannot make exactly {want} steps with an integer stride")
+        section_counts = [int(x) for x in section_counts.split(",")]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start = 0
+    out = []
+    for i, count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < count:
+            raise ValueError(f"cannot take {count} steps from a section of {size}")
+        stride = 1 if count <= 1 else (size - 1) / (count - 1)
+        cur = 0.0
+        for _ in range(count):
+            out.append(start + round(cur))
+            cur += stride
+        start += size
+    return set(out)
+
+
+def _normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL(N(mean1, var1) || N(mean2, var2)) elementwise, in nats."""
+    return 0.5 * (-1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+                  + jnp.square(mean1 - mean2) * jnp.exp(-logvar2))
+
+
+def _approx_std_cdf(x):
+    return 0.5 * (1.0 + jnp.tanh(np.sqrt(2.0 / np.pi)
+                                 * (x + 0.044715 * x ** 3)))
+
+
+def _discretized_gaussian_ll(x, means, log_scales):
+    """log p(x) for images discretized to 256 bins in [-1, 1]
+    (diffusion_utils.discretized_gaussian_log_likelihood)."""
+    centered = x - means
+    inv_std = jnp.exp(-log_scales)
+    plus = _approx_std_cdf(inv_std * (centered + 1.0 / 255.0))
+    minus = _approx_std_cdf(inv_std * (centered - 1.0 / 255.0))
+    log_plus = jnp.log(jnp.maximum(plus, 1e-12))
+    log_1m_minus = jnp.log(jnp.maximum(1.0 - minus, 1e-12))
+    log_delta = jnp.log(jnp.maximum(plus - minus, 1e-12))
+    return jnp.where(x < -0.999, log_plus,
+                     jnp.where(x > 0.999, log_1m_minus, log_delta))
+
+
+def _mean_flat(x):
+    return jnp.mean(x.reshape(x.shape[0], -1), axis=1)
+
+
 @dataclasses.dataclass
 class GaussianDiffusion:
     num_timesteps: int = 1000
     schedule: str = "linear"
     learn_sigma: bool = True
+    var_type: str = "learned_range"  # | "fixed_small" | "fixed_large"
+    betas_override: Optional[np.ndarray] = None
+    # respacing: model-facing timestep = timestep_map[t] (original indexing)
+    timestep_map: Optional[np.ndarray] = None
 
     def __post_init__(self):
-        betas = (linear_beta_schedule(self.num_timesteps)
-                 if self.schedule == "linear"
-                 else cosine_beta_schedule(self.num_timesteps))
+        if self.betas_override is not None:
+            betas = np.asarray(self.betas_override, np.float64)
+            self.num_timesteps = len(betas)
+        else:
+            betas = (linear_beta_schedule(self.num_timesteps)
+                     if self.schedule == "linear"
+                     else cosine_beta_schedule(self.num_timesteps))
         alphas = 1.0 - betas
         acp = np.cumprod(alphas)
         acp_prev = np.append(1.0, acp[:-1])
         self.betas = jnp.asarray(betas, jnp.float32)
+        self.alphas_cumprod = jnp.asarray(acp, jnp.float32)
         self.sqrt_acp = jnp.asarray(np.sqrt(acp), jnp.float32)
         self.sqrt_1m_acp = jnp.asarray(np.sqrt(1 - acp), jnp.float32)
         self.sqrt_recip_acp = jnp.asarray(np.sqrt(1 / acp), jnp.float32)
@@ -58,6 +137,37 @@ class GaussianDiffusion:
         self.posterior_mean_ct = jnp.asarray(
             (1 - acp_prev) * np.sqrt(alphas) / (1 - acp), jnp.float32)
         self.log_betas = jnp.asarray(np.log(betas), jnp.float32)
+        # FIXED_LARGE variance (gaussian_diffusion.py:298-301): beta_t with
+        # the t=0 entry replaced by the posterior variance
+        fl = np.append(post_var[1], betas[1:])
+        self.fixed_large_var = jnp.asarray(fl, jnp.float32)
+        self.fixed_large_logvar = jnp.asarray(np.log(fl), jnp.float32)
+        self._tmap = (None if self.timestep_map is None
+                      else jnp.asarray(self.timestep_map, jnp.int32))
+
+    # -- respacing ---------------------------------------------------------
+
+    def respaced(self, section_counts: Union[str, Sequence[int]]
+                 ) -> "GaussianDiffusion":
+        """SpacedDiffusion (respace.py): keep only the selected original
+        timesteps, recompute betas so the marginals match, and record the
+        original indices so the model still sees original-scale t."""
+        use = sorted(space_timesteps(self.num_timesteps, section_counts))
+        acp = np.cumprod(1.0 - np.asarray(self.betas, np.float64))
+        last = 1.0
+        new_betas, tmap = [], []
+        for t in use:
+            new_betas.append(1.0 - acp[t] / last)
+            last = acp[t]
+            tmap.append(t)
+        return GaussianDiffusion(
+            schedule=self.schedule, learn_sigma=self.learn_sigma,
+            var_type=self.var_type,
+            betas_override=np.asarray(new_betas),
+            timestep_map=np.asarray(tmap))
+
+    def _model_t(self, t):
+        return t if self._tmap is None else self._tmap[t]
 
     # -- forward process -------------------------------------------------
 
@@ -66,40 +176,75 @@ class GaussianDiffusion:
         return (self.sqrt_acp[t].reshape(shape) * x0
                 + self.sqrt_1m_acp[t].reshape(shape) * noise)
 
-    # -- training loss ----------------------------------------------------
+    def q_posterior(self, x0, xt, t):
+        sh = (-1,) + (1,) * (x0.ndim - 1)
+        mean = (self.posterior_mean_c0[t].reshape(sh) * x0
+                + self.posterior_mean_ct[t].reshape(sh) * xt)
+        return mean, self.posterior_logvar_clipped[t].reshape(sh)
 
-    def training_loss(self, model_fn: Callable, x0, t, key, model_args=()):
-        """Hybrid loss: MSE on eps (+ simplified VB term on learned sigma,
-        with the stop-gradient-on-mean trick from the reference)."""
-        noise = jax.random.normal(key, x0.shape, x0.dtype)
-        xt = self.q_sample(x0, t, noise)
-        out = model_fn(xt, t, *model_args)
-        if self.learn_sigma:
-            eps, var_raw = jnp.split(out, 2, axis=1)
-        else:
-            eps, var_raw = out, None
-        mse = jnp.mean(jnp.square(eps - noise))
-        vb = 0.0
-        if var_raw is not None:
-            # interpolate log-variance between beta and posterior (ADM):
-            # simplified VB regularizer on the variance head only
-            frac = (var_raw + 1) / 2
-            shape = (-1,) + (1,) * (x0.ndim - 1)
-            logvar = (frac * self.log_betas[t].reshape(shape)
-                      + (1 - frac) * self.posterior_logvar_clipped[t].reshape(shape))
-            # kl against posterior with frozen mean: encourage logvar toward
-            # the true posterior variance
-            true_lv = self.posterior_logvar_clipped[t].reshape(shape)
-            vb = jnp.mean(0.5 * (jnp.exp(true_lv - logvar)
-                                 + (logvar - true_lv) - 1.0)) * 1e-3
-        return mse + vb, {"mse": mse, "vb": vb}
-
-    # -- sampling ----------------------------------------------------------
+    # -- reverse process -------------------------------------------------
 
     def _eps_to_x0(self, xt, t, eps):
         shape = (-1,) + (1,) * (xt.ndim - 1)
         return (self.sqrt_recip_acp[t].reshape(shape) * xt
                 - self.sqrt_recipm1_acp[t].reshape(shape) * eps)
+
+    def p_mean_variance(self, model_out, xt, t, clip: bool = True):
+        """model output → (mean, logvar, pred_x0) of p(x_{t-1}|x_t)
+        (gaussian_diffusion.py:254-333, mean_type=EPSILON)."""
+        sh = (-1,) + (1,) * (xt.ndim - 1)
+        if self.learn_sigma:
+            eps, var_raw = jnp.split(model_out, 2, axis=1)
+            frac = (var_raw + 1) / 2
+            logvar = (frac * self.log_betas[t].reshape(sh)
+                      + (1 - frac) * self.posterior_logvar_clipped[t].reshape(sh))
+        else:
+            eps = model_out
+            logvar = (self.fixed_large_logvar if self.var_type == "fixed_large"
+                      else self.posterior_logvar_clipped)[t].reshape(sh)
+            logvar = jnp.broadcast_to(logvar, xt.shape)
+        x0 = self._eps_to_x0(xt, t, eps)
+        if clip:
+            x0 = jnp.clip(x0, -1, 1)
+        mean, _ = self.q_posterior(x0, xt, t)
+        return mean, logvar, x0
+
+    # -- losses ------------------------------------------------------------
+
+    def vb_term(self, model_out, x0, xt, t, clip: bool = False):
+        """Per-example VB term in bits/dim: KL(q(x_{t-1}|x_t,x_0) ||
+        p(x_{t-1}|x_t)) for t>0, discretized gaussian NLL at t=0
+        (gaussian_diffusion.py:683-715)."""
+        true_mean, true_logvar = self.q_posterior(x0, xt, t)
+        mean, logvar, _ = self.p_mean_variance(model_out, xt, t, clip=clip)
+        kl = _mean_flat(_normal_kl(true_mean,
+                                   jnp.broadcast_to(true_logvar, xt.shape),
+                                   mean, logvar)) / np.log(2.0)
+        nll = -_mean_flat(_discretized_gaussian_ll(
+            x0, mean, 0.5 * logvar)) / np.log(2.0)
+        return jnp.where(t == 0, nll, kl)
+
+    def training_loss(self, model_fn: Callable, x0, t, key, model_args=()):
+        """Exact hybrid loss (LossType.RESCALED_MSE + LEARNED_RANGE,
+        gaussian_diffusion.py:747-771): per-example eps-MSE plus the true
+        VB term with the mean FROZEN (stop-gradient on eps inside the VB
+        input) rescaled by T/1000."""
+        noise = jax.random.normal(key, x0.shape, x0.dtype)
+        xt = self.q_sample(x0, t, noise)
+        out = model_fn(xt, self._model_t(t), *model_args)
+        if self.learn_sigma:
+            eps, var_raw = jnp.split(out, 2, axis=1)
+            mse = jnp.mean(_mean_flat(jnp.square(eps - noise)))
+            # freeze the mean for the VB term so it only trains the variance
+            frozen = jnp.concatenate([jax.lax.stop_gradient(eps), var_raw],
+                                     axis=1)
+            vb = jnp.mean(self.vb_term(frozen, x0, xt, t)) * \
+                (self.num_timesteps / 1000.0)
+            return mse + vb, {"mse": mse, "vb": vb}
+        mse = jnp.mean(_mean_flat(jnp.square(out - noise)))
+        return mse, {"mse": mse, "vb": jnp.zeros(())}
+
+    # -- sampling ----------------------------------------------------------
 
     def p_sample_loop(self, model_fn: Callable, shape, key, model_args=(),
                       clip: bool = True):
@@ -111,18 +256,11 @@ class GaussianDiffusion:
             x, key = carry
             key, sub = jax.random.split(key)
             tb = jnp.full((shape[0],), t, jnp.int32)
-            out = model_fn(x, tb)
-            eps = jnp.split(out, 2, axis=1)[0] if self.learn_sigma else out
-            x0 = self._eps_to_x0(x, tb, eps)
-            if clip:
-                x0 = jnp.clip(x0, -1, 1)
-            sh = (-1,) + (1,) * (x.ndim - 1)
-            mean = (self.posterior_mean_c0[tb].reshape(sh) * x0
-                    + self.posterior_mean_ct[tb].reshape(sh) * x)
+            out = model_fn(x, self._model_t(tb), *model_args)
+            mean, logvar, _ = self.p_mean_variance(out, x, tb, clip=clip)
             noise = jax.random.normal(sub, shape, jnp.float32)
             nonzero = (t > 0).astype(jnp.float32)
-            x = mean + nonzero * jnp.sqrt(
-                self.posterior_var[tb].reshape(sh)) * noise
+            x = mean + nonzero * jnp.exp(0.5 * logvar) * noise
             return (x, key), None
 
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
@@ -130,27 +268,38 @@ class GaussianDiffusion:
         return x
 
     def ddim_sample_loop(self, model_fn: Callable, shape, key,
-                         steps: int = 50, eta: float = 0.0, clip: bool = True):
-        """DDIM with a strided timestep subsequence."""
+                         steps: Optional[int] = None, eta: float = 0.0,
+                         clip: bool = True, model_args=()):
+        """DDIM over a strided subsequence (or this (respaced) process's
+        own timesteps when steps is None)."""
         key, sub = jax.random.split(key)
         x = jax.random.normal(sub, shape, jnp.float32)
-        seq = jnp.asarray(
-            np.linspace(0, self.num_timesteps - 1, steps, dtype=np.int64)[::-1].copy())
+        if steps is None or steps >= self.num_timesteps:
+            seq_np = np.arange(self.num_timesteps - 1, -1, -1)
+        else:
+            seq_np = np.linspace(0, self.num_timesteps - 1, steps,
+                                 dtype=np.int64)[::-1].copy()
+        seq = jnp.asarray(seq_np)
         seq_prev = jnp.concatenate([seq[1:], jnp.array([-1])])
 
         acp_full = jnp.concatenate(
-            [jnp.ones((1,), jnp.float32), self.sqrt_acp ** 2])
+            [jnp.ones((1,), jnp.float32), self.alphas_cumprod])
 
         def step(carry, ts):
             x, key = carry
             t, t_prev = ts
             key, sub = jax.random.split(key)
             tb = jnp.full((shape[0],), t, jnp.int32)
-            out = model_fn(x, tb)
+            out = model_fn(x, self._model_t(tb), *model_args)
             eps = jnp.split(out, 2, axis=1)[0] if self.learn_sigma else out
             x0 = self._eps_to_x0(x, tb, eps)
             if clip:
                 x0 = jnp.clip(x0, -1, 1)
+            # re-derive eps from the (possibly clipped) x0 (gaussian_
+            # diffusion.py:514-560 does the same)
+            sh = (-1,) + (1,) * (x.ndim - 1)
+            eps = ((self.sqrt_recip_acp[tb].reshape(sh) * x - x0)
+                   / self.sqrt_recipm1_acp[tb].reshape(sh))
             a_t = acp_full[t + 1]
             a_prev = acp_full[t_prev + 1]
             sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)) * \
@@ -168,11 +317,11 @@ def cfg_model_fn(model_fn: Callable, guidance_scale: float, null_label: int):
     """Classifier-free guidance wrapper: runs cond+uncond in one batch
     (reference models/model.py forward_with_cfg)."""
 
-    def wrapped(x, t, y):
+    def wrapped(x, t, y, *rest):
         xx = jnp.concatenate([x, x], axis=0)
         tt = jnp.concatenate([t, t], axis=0)
         yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
-        out = model_fn(xx, tt, yy)
+        out = model_fn(xx, tt, yy, *rest)
         cond, uncond = jnp.split(out, 2, axis=0)
         c_eps, c_rest = jnp.split(cond, 2, axis=1)
         u_eps, _ = jnp.split(uncond, 2, axis=1)

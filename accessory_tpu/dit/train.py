@@ -46,22 +46,28 @@ def get_args_parser():
 def make_dit_train_step(args_d, diffusion, tx):
     from accessory_tpu.dit.model import dit_forward
 
-    def loss_fn(params, latents, labels, t, key):
+    def loss_fn(params, latents, labels, t, key, cap_feats=None):
         loss, parts = diffusion.training_loss(
-            lambda xt, tt, yy=labels: dit_forward(params, args_d, xt, tt, yy),
+            lambda xt, tt, yy=labels: dit_forward(
+                params, args_d, xt, tt, yy, cap_feats=cap_feats),
             latents, t, key)
         return loss, parts
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(state, ema, latents, labels, key):
+    def step(state, ema, latents, labels, key, cap_feats=None):
         key, k_t, k_n, k_drop = jax.random.split(key, 4)
         b = latents.shape[0]
         t = jax.random.randint(k_t, (b,), 0, diffusion.num_timesteps)
-        # CFG label dropout → null label (LabelEmbedder semantics)
+        # CFG label dropout → null label (LabelEmbedder semantics); for T2I
+        # the same dropout nulls the caption conditioning (Large-DiT-T2I
+        # caption dropout role)
         drop = jax.random.uniform(k_drop, (b,)) < args_d.class_dropout_prob
         labels = jnp.where(drop, args_d.num_classes, labels)
-        (loss, parts), grads = grad_fn(state.params, latents, labels, t, k_n)
+        if cap_feats is not None:
+            cap_feats = jnp.where(drop[:, None, None], 0.0, cap_feats)
+        (loss, parts), grads = grad_fn(state.params, latents, labels, t, k_n,
+                                       cap_feats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         import optax
 

@@ -136,3 +136,135 @@ def test_t2i_caption_conditioning():
     a = dit_forward(params, args, x, t, y, cap_feats=caps)
     b = dit_forward(params, args, x, t, y)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_space_timesteps():
+    from accessory_tpu.dit.diffusion import space_timesteps
+
+    assert space_timesteps(1000, "ddim50") == set(range(0, 1000, 20))
+    s = space_timesteps(300, [10, 15, 20])
+    assert len(s) == 45
+    assert space_timesteps(100, "10") == space_timesteps(100, [10])
+
+
+def test_respaced_marginals_match():
+    """Respacing must preserve alpha_cumprod at the kept timesteps
+    (respace.py invariant) and remap model-facing t."""
+    import numpy as np
+
+    from accessory_tpu.dit.diffusion import GaussianDiffusion
+
+    gd = GaussianDiffusion(num_timesteps=100, learn_sigma=False)
+    sp = gd.respaced("ddim10")
+    assert sp.num_timesteps == 10
+    acp_full = np.asarray(gd.alphas_cumprod)
+    acp_sp = np.asarray(sp.alphas_cumprod)
+    for i, t in enumerate(np.asarray(sp.timestep_map)):
+        np.testing.assert_allclose(acp_sp[i], acp_full[t], rtol=1e-5)
+
+
+def test_vb_term_perfect_model_low_kl():
+    """A model that predicts the exact noise and the true posterior variance
+    should get a (near-)minimal VB term."""
+    import numpy as np
+
+    from accessory_tpu.dit.diffusion import GaussianDiffusion
+
+    gd = GaussianDiffusion(num_timesteps=50, learn_sigma=True)
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(2, 4, 8, 8).clip(-1, 1), jnp.float32)
+    noise = jnp.asarray(rng.randn(2, 4, 8, 8), jnp.float32)
+    t = jnp.array([10, 30], jnp.int32)
+    xt = gd.q_sample(x0, t, noise)
+    # perfect eps; var_raw=-1 selects the posterior variance exactly
+    perfect = jnp.concatenate([noise, -jnp.ones_like(noise)], axis=1)
+    vb_good = gd.vb_term(perfect, x0, xt, t)
+    bad = jnp.concatenate([noise * 0.0, -jnp.ones_like(noise)], axis=1)
+    vb_bad = gd.vb_term(bad, x0, xt, t)
+    assert float(vb_good.mean()) < float(vb_bad.mean())
+    assert float(vb_good.mean()) < 0.05  # near-zero KL in bits/dim
+
+
+def test_training_loss_learned_sigma_finite_and_grad():
+    from accessory_tpu.dit.diffusion import GaussianDiffusion
+
+    gd = GaussianDiffusion(num_timesteps=20, learn_sigma=True)
+    w = jnp.ones((4 * 2,)) * 0.1
+
+    def model_fn(x, t, w):
+        return jnp.repeat(x, 2, axis=1) * w.reshape(1, -1, 1, 1)
+
+    def loss(w, key):
+        x0 = jax.random.normal(key, (2, 4, 8, 8)).clip(-1, 1)
+        t = jnp.array([3, 15], jnp.int32)
+        l, aux = gd.training_loss(lambda x, tt: model_fn(x, tt, w), x0, t, key)
+        return l
+
+    g = jax.grad(loss)(w, jax.random.PRNGKey(0))
+    assert jnp.isfinite(g).all()
+
+
+def test_ddim_respaced_sampler_runs():
+    from accessory_tpu.dit.diffusion import GaussianDiffusion
+
+    gd = GaussianDiffusion(num_timesteps=40, learn_sigma=True).respaced("ddim8")
+
+    def model_fn(x, t):
+        return jnp.concatenate([x * 0.1, jnp.zeros_like(x)], axis=1)
+
+    out = gd.ddim_sample_loop(model_fn, (2, 4, 8, 8), jax.random.PRNGKey(0))
+    assert out.shape == (2, 4, 8, 8)
+    assert jnp.isfinite(out).all()
+    out2 = gd.p_sample_loop(model_fn, (2, 4, 8, 8), jax.random.PRNGKey(1))
+    assert jnp.isfinite(out2).all()
+
+
+def test_t2i_end_to_end_train_and_sample():
+    """T2I conditioning end-to-end: caption-conditioned training steps
+    reduce loss, then a caption-conditioned DDIM sample runs (Large-DiT-T2I
+    role)."""
+    import optax
+
+    from accessory_tpu.dit.diffusion import GaussianDiffusion
+    from accessory_tpu.dit.model import DiTArgs, dit_forward, init_dit
+    from accessory_tpu.dit.train import make_dit_train_step
+    from accessory_tpu.train.train_step import TrainState
+
+    args = DiTArgs(input_size=8, patch_size=2, in_channels=4, dim=32,
+                   n_layers=2, n_heads=4, num_classes=10, cap_feat_dim=16,
+                   learn_sigma=True)
+    params = init_dit(jax.random.PRNGKey(0), args)
+    gd = GaussianDiffusion(num_timesteps=20, learn_sigma=True)
+    tx = optax.adamw(1e-3)
+    state = TrainState.create(params, tx)
+    ema = jax.tree.map(lambda x: x, params)
+    step = jax.jit(make_dit_train_step(args, gd, tx))
+
+    rng = jax.random.PRNGKey(1)
+    lat = jax.random.normal(rng, (4, 4, 8, 8)).clip(-1, 1)
+    labels = jnp.array([1, 2, 3, 4], jnp.int32)
+    caps = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 16))
+    def eval_loss(p):
+        # deterministic probe: fixed t/noise key so progress is comparable
+        gd2 = GaussianDiffusion(num_timesteps=20, learn_sigma=True)
+        t = jnp.array([3, 8, 12, 17], jnp.int32)
+        l, _ = gd2.training_loss(
+            lambda xt, tt: dit_forward(p, args, xt, tt, labels,
+                                       cap_feats=caps),
+            lat, t, jax.random.PRNGKey(42))
+        return float(l)
+
+    before = eval_loss(state.params)
+    key = jax.random.PRNGKey(3)
+    for _ in range(25):
+        state, ema, m, key = step(state, ema, lat, labels, key, caps)
+    assert eval_loss(state.params) < before
+
+    # caption-conditioned sampling (respaced DDIM)
+    sp = gd.respaced("ddim5")
+    out = sp.ddim_sample_loop(
+        lambda x, t: dit_forward(
+            state.params, args, x, t, jnp.array([1, 2], jnp.int32),
+            cap_feats=caps[:2]),
+        (2, 4, 8, 8), jax.random.PRNGKey(4))
+    assert out.shape == (2, 4, 8, 8) and jnp.isfinite(out).all()
