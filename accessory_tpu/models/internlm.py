@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from accessory_tpu.config import InternLMArgs
-from accessory_tpu.ops.attention import attention, cached_attention
+from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
 from accessory_tpu.ops.linear import linear
 from accessory_tpu.ops.norms import layer_norm, rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -110,13 +111,14 @@ def init_kv_cache(args: InternLMArgs, batch: int, max_len: Optional[int] = None,
     dtype = dtype or jnp.dtype(args.dtype)
     nh = args.num_attention_heads
     hd = args.hidden_size // nh
-    shape = (args.num_layers, batch, max_len, nh, hd)
+    # lane-major (L, B, NKV, HD, S) — see ops/decode_attention.py
+    shape = (args.num_layers, batch, nh, hd, max_len)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def cache_axes() -> Dict[str, Tuple]:
-    return {"k": ("layers", "batch", None, "heads", None),
-            "v": ("layers", "batch", None, "heads", None)}
+    return {"k": ("layers", "batch", "heads", None, None),
+            "v": ("layers", "batch", "heads", None, None)}
 
 
 def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
@@ -137,7 +139,7 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
 
     if cache_k is not None:
         # read-only cache + two-part softmax (ops.attention.cached_attention)
-        out = cached_attention(q, k, v, cache_k, cache_v, q_offset)
+        out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -169,7 +171,7 @@ def forward(
         jnp.take(params["word_embeddings"]["weight"], tokens, axis=0))
     hd = args.hidden_size // args.num_attention_heads
 
-    max_rope = (cache["k"].shape[2] if cache is not None else sq)
+    max_rope = (cache["k"].shape[4] if cache is not None else sq)
     cos_full, sin_full = precompute_rope(hd, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
         cos = jax.lax.dynamic_slice_in_dim(cos_full, cur_pos, sq, 0)
@@ -194,14 +196,9 @@ def forward(
 
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], new_k.astype(cache["k"].dtype),
-                (0, 0, cur_pos, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], new_v.astype(cache["v"].dtype),
-                (0, 0, cur_pos, 0, 0)),
-        }
+        wk_, wv_ = write_kv_t(cache["k"], cache["v"], new_k, new_v,
+                              cur_pos)
+        new_cache = {"k": wk_, "v": wv_}
     else:
         def body(h, layer):
             h, _, _ = block(h, layer, args, cos, sin, 0, None)

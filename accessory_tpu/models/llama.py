@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from accessory_tpu.config import LLaMAArgs
-from accessory_tpu.ops.attention import attention, cached_attention
+from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -189,13 +190,16 @@ def init_kv_cache(args: LLaMAArgs, batch: int, max_len: Optional[int] = None,
     """
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
-    shape = (args.n_layers, batch, max_len, args.kv_heads, args.head_dim)
+    # lane-major layout (L, B, NKV, HD, S): the context axis sits on the
+    # 128-wide vector lanes so the Pallas decode-attention kernel streams
+    # the cache once with no relayout (ops/decode_attention.py)
+    shape = (args.n_layers, batch, args.kv_heads, args.head_dim, max_len)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def cache_axes() -> Dict[str, Tuple]:
-    return {"k": ("layers", "batch", None, "heads", None),
-            "v": ("layers", "batch", None, "heads", None)}
+    ax = ("layers", "batch", "heads", None, None)
+    return {"k": ax, "v": ax}
 
 
 # ---------------------------------------------------------------------------
@@ -217,10 +221,9 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     k = apply_rope(k, cos, sin, args.rope_style)
 
     if cache_k is not None:
-        # READ-ONLY cache + two-part softmax; the caller writes k/v into the
-        # cache once, outside the layer scan (see ops.attention
-        # cached_attention for why: scan-carried caches copy every layer)
-        out = cached_attention(q, k, v, cache_k, cache_v, q_offset)
+        # READ-ONLY cache + two-part softmax (pallas kernel at decode); the
+        # caller writes k/v into the cache once outside the layer scan
+        out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -259,7 +262,7 @@ def forward(
         jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
     sq = h.shape[1]  # embeds may be longer than tokens (multimodal splice)
 
-    max_rope = (cache["k"].shape[2] if cache is not None else sq)
+    max_rope = (cache["k"].shape[4] if cache is not None else sq)
     cos_full, sin_full = precompute_rope(
         args.head_dim, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
@@ -285,15 +288,9 @@ def forward(
 
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], cache["k"], cache["v"]))
-        # single bulk write of all layers' new kv (in-place with donation)
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], new_k.astype(cache["k"].dtype),
-                (0, 0, cur_pos, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], new_v.astype(cache["v"].dtype),
-                (0, 0, cur_pos, 0, 0)),
-        }
+        # single bulk write of all layers' new kv
+        wk, wv = write_kv_t(cache["k"], cache["v"], new_k, new_v, cur_pos)
+        new_cache = {"k": wk, "v": wv}
     else:
         def body(h, layer):
             h, _, _ = block(h, layer, args, cos, sin, 0, None)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import AdapterArgs, LLaMAArgs
 from accessory_tpu.models import llama
-from accessory_tpu.ops.attention import attention, cached_attention
+from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
 from accessory_tpu.ops.linear import module_linear
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -189,7 +190,7 @@ def forward(
     sq = h.shape[1]
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
 
-    max_rope = (cache["k"].shape[2] if cache is not None else sq)
+    max_rope = (cache["k"].shape[4] if cache is not None else sq)
     cos_full, sin_full = precompute_rope(
         hd, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
@@ -213,7 +214,7 @@ def forward(
 
         if ck is not None:
             # read-only cache + two-part softmax (ops.attention)
-            out = cached_attention(q, k, v, ck, cv, cur_pos)
+            out = cached_attention_t(q, k, v, ck, cv, cur_pos)
         else:
             out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -248,12 +249,8 @@ def forward(
         h, (nk, nv) = jax.lax.scan(
             body, h, (params["layers"], ad["prefix"], ad["gate"], pmask,
                       cache["k"], cache["v"]))
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], nk.astype(cache["k"].dtype), (0, 0, cur_pos, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], nv.astype(cache["v"].dtype), (0, 0, cur_pos, 0, 0)),
-        }
+        wk_, wv_ = write_kv_t(cache["k"], cache["v"], nk, nv, cur_pos)
+        new_cache = {"k": wk_, "v": wv_}
     else:
         def body(h, xs):
             layer, prefix, gate, pm = xs

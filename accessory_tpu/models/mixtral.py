@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from accessory_tpu.config import MixtralArgs
-from accessory_tpu.ops.attention import attention, cached_attention
+from accessory_tpu.ops.attention import attention
+from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
 from accessory_tpu.ops.norms import rms_norm
@@ -151,13 +152,14 @@ def init_kv_cache(args: MixtralArgs, batch: int, max_len: Optional[int] = None,
                   dtype=None) -> Dict[str, jnp.ndarray]:
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
-    shape = (args.n_layers, batch, max_len, args.kv_heads, args.head_dim)
+    # lane-major (L, B, NKV, HD, S) — see ops/decode_attention.py
+    shape = (args.n_layers, batch, args.kv_heads, args.head_dim, max_len)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def cache_axes() -> Dict[str, Tuple]:
-    return {"k": ("layers", "batch", None, "heads", None),
-            "v": ("layers", "batch", None, "heads", None)}
+    return {"k": ("layers", "batch", "heads", None, None),
+            "v": ("layers", "batch", "heads", None, None)}
 
 
 def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
@@ -175,7 +177,7 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
 
     if cache_k is not None:
         # read-only cache + two-part softmax (see ops.attention.cached_attention)
-        out = cached_attention(q, k, v, cache_k, cache_v, q_offset)
+        out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -217,7 +219,7 @@ def forward(
         jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
     sq = h.shape[1]  # embeds may be longer than tokens (multimodal splice)
 
-    max_rope = (cache["k"].shape[2] if cache is not None else sq)
+    max_rope = (cache["k"].shape[4] if cache is not None else sq)
     cos_full, sin_full = precompute_rope(
         args.head_dim, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
@@ -245,14 +247,8 @@ def forward(
 
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], cache["k"], cache["v"]))
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], new_k.astype(cache["k"].dtype),
-                (0, 0, cur_pos, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], new_v.astype(cache["v"].dtype),
-                (0, 0, cur_pos, 0, 0)),
-        }
+        wk, wv = write_kv_t(cache["k"], cache["v"], new_k, new_v, cur_pos)
+        new_cache = {"k": wk, "v": wv}
         aux_total = None
     else:
         def body(carry, layer):

@@ -1,0 +1,217 @@
+"""Pallas decode attention over a lane-major KV cache.
+
+Round-2 finding (BENCHMARKS.md): XLA decode attention on the natural
+(B, S, NKV, HD) cache ran at ~183 GB/s — head_dim=64 puts only half a
+vector lane to work and the einsum needs a physical transpose of the cache
+every layer. This kernel flips the cache to (B, NKV, HD, S): the context
+axis S lands on the 128-wide lane dimension, scores (R, S) come from one
+MXU dot contracting HD, the softmax reduces along lanes, and the value
+contraction is an NT dot over S — the cache streams exactly once, no
+relayout.
+
+Two-part softmax (same contract as ops.attention.cached_attention): the
+cache stays READ-ONLY (scan xs — carried caches copy every layer) and the
+current token's k/v ride separately; the model does one bulk write per step
+outside the layer scan.
+
+Reference role: the decode branch of accessory/model/LLM/llama.py
+Attention.forward (cache read + sdpa).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, out_ref):
+    """Grid (B, NKV). Blocks: q (1,1,R,HD); kn/vn (1,1,HD); kc/vc
+    (1,1,HD,S); out (1,1,R,HD). lens: SMEM (B,)."""
+    b = pl.program_id(0)
+    length = lens_ref[b]
+
+    q = q_ref[0, 0]                                # (R, HD) act dtype
+    kc = kc_ref[0, 0]                              # (HD, S) bf16
+    vc = vc_ref[0, 0]
+    S = kc.shape[1]
+    hd = q.shape[1]
+    scale = hd ** -0.5
+
+    # MXU consumes bf16 operands directly with fp32 accumulation — no
+    # whole-cache VPU upcast. For f32 caches force HIGHEST precision:
+    # Mosaic otherwise lowers f32 dots to single bf16 passes (measured
+    # 4e-3-relative logit error on chip).
+    prec = (jax.lax.Precision.HIGHEST if kc.dtype == jnp.float32 else None)
+    s_old = jax.lax.dot_general(
+        q, kc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec) * scale                              # (R, S) f32
+    mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
+    s_old = jnp.where(mask, s_old, NEG_INF)
+
+    kn = kn_ref[0, 0, 0].astype(jnp.float32)       # (HD,)
+    vn = vn_ref[0, 0, 0].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale  # (R, 1)
+
+    m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+    p_old = jnp.exp(s_old - m)                     # (R, S) f32
+    p_new = jnp.exp(s_new - m)                     # (R, 1)
+    denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
+
+    out = jax.lax.dot_general(
+        p_old.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # (R, HD)
+    out = out + p_new * vn[None, :]
+    out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attn_pallas(q, k_new, v_new, cache_k, cache_v, lengths,
+                        interpret=False):
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    grid = (b, nkv)
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, r, hd), lambda i, j, lens: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, hd), lambda i, j, lens: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, hd), lambda i, j, lens: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hd, S), lambda i, j, lens: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hd, S), lambda i, j, lens: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, r, hd),
+                                   lambda i, j, lens: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, k_new, v_new, cache_k, cache_v)
+
+
+def cached_attention_t(
+    q: jnp.ndarray,        # (b, sq, nq, hd)
+    k_new: jnp.ndarray,    # (b, sq, nkv, hd)
+    v_new: jnp.ndarray,
+    cache_k: jnp.ndarray,  # (b, nkv, hd, S) — lane-major layout
+    cache_v: jnp.ndarray,
+    pos,                   # scalar or (b,) valid tokens already cached
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Two-part-softmax attention over the lane-major cache. sq == 1 decode
+    dispatches to the Pallas kernel on TPU; the XLA path (also the numerics
+    oracle) serves chunked prefill and other backends."""
+    b, sq, nq, hd = q.shape
+    nkv, S = cache_k.shape[1], cache_k.shape[3]
+    n_rep = nq // nkv
+
+    pos_arr = jnp.asarray(pos)
+    if pos_arr.ndim == 0:
+        pos_arr = jnp.broadcast_to(pos_arr[None], (b,))
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sq == 1 and hd % 8 == 0 and S % 128 == 0:
+        qg = q.reshape(b, nkv, n_rep, hd)
+        kn = k_new.reshape(b, nkv, 1, hd)
+        vn = v_new.reshape(b, nkv, 1, hd)
+        out = _decode_attn_pallas(qg, kn, vn, cache_k, cache_v, pos_arr,
+                                  interpret=not use_pallas)
+        return out.reshape(b, 1, nq, hd)
+
+    # XLA fallback (chunked prefill into a cache, CPU tests)
+    scale = hd ** -0.5
+    qg = q.reshape(b, sq, nkv, n_rep, hd)
+    s_old = jnp.einsum("bqkrh,bkhs->bkrqs", qg.astype(jnp.float32),
+                       cache_k.astype(jnp.float32)) * scale
+    old_mask = jnp.arange(S)[None, :] < pos_arr[:, None]
+    s_old = jnp.where(old_mask[:, None, None, None, :], s_old, NEG_INF)
+    s_new = jnp.einsum("bqkrh,bskh->bkrqs", qg.astype(jnp.float32),
+                       k_new.astype(jnp.float32)) * scale
+    causal = jnp.arange(sq)[None, :] <= jnp.arange(sq)[:, None]
+    s_new = jnp.where(causal[None, None, None, :, :], s_new, NEG_INF)
+    scores = jnp.concatenate([s_old, s_new], axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1)
+    p_old, p_new = probs[..., :S], probs[..., S:]
+    out = jnp.einsum("bkrqs,bkhs->bqkrh", p_old,
+                     cache_v.astype(jnp.float32))
+    out = out + jnp.einsum("bkrqs,bskh->bqkrh", p_new,
+                           v_new.astype(jnp.float32))
+    return out.reshape(b, sq, nq, hd).astype(q.dtype)
+
+
+def _write_kernel(pos_ref, upd_ref, cache_ref, out_ref, sem):
+    """Aliased in-place slot write: DMA the update hyperslab into the cache
+    at [..., pos:pos+sq]. cache is aliased to the output, so XLA performs
+    NO copy of the pool (lax.dynamic_update_slice was measured to copy the
+    whole cache per step even with donation)."""
+    pos = pos_ref[0]
+    sq = upd_ref.shape[-1]
+    dma = pltpu.make_async_copy(
+        upd_ref, out_ref.at[:, :, :, :, pl.ds(pos, sq)], sem)
+    dma.start()
+    dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_inplace(cache, upd, pos, interpret=False):
+    L, B, NKV, HD, S = cache.shape
+    return pl.pallas_call(
+        _write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        # inputs are (scalar_prefetch, upd, cache) → alias cache (input 2)
+        # to the output
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray([pos], jnp.int32), upd, cache)
+
+
+def write_kv_t(cache_k, cache_v, new_k, new_v, pos,
+               use_pallas: Optional[bool] = None):
+    """Bulk write of a chunk into the lane-major cache.
+
+    cache_*: (L, B, NKV, HD, S); new_*: (L, B, sq, NKV, HD); pos: scalar
+    start position. One dynamic_update_slice per pool by default.
+
+    NOTE: the aliased Pallas DMA variant (``use_pallas=True``) only compiles
+    when sq is a multiple of 128 — Mosaic requires lane-dim slices aligned
+    to 128, so single-token decode writes cannot use it on this layout. A
+    lane-aligned staging ring (flush every 128 steps) is the known fix."""
+    sq = new_k.shape[2]
+    upd_k = new_k.transpose(0, 1, 3, 4, 2).astype(cache_k.dtype)
+    upd_v = new_v.transpose(0, 1, 3, 4, 2).astype(cache_v.dtype)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and sq % 128 == 0
+    if use_pallas:
+        return (_write_inplace(cache_k, upd_k, pos),
+                _write_inplace(cache_v, upd_v, pos))
+    idx = (0, 0, 0, 0, pos)
+    return (jax.lax.dynamic_update_slice(cache_k, upd_k, idx),
+            jax.lax.dynamic_update_slice(cache_v, upd_v, idx))

@@ -212,12 +212,91 @@ def bench_prefill_ttft(batch=1, prompt_len=2048):
         "vs_baseline": round(batch * prompt_len / dt, 1)}), flush=True)
 
 
+def bench_scheduler(slots=8, n_requests=24, rate=40.0, prompt_len=128,
+                    gen_len=64, page_size=64):
+    """Continuous-batching serving benchmark: Poisson arrivals into the
+    scheduler; reports p50 TTFT and aggregate generated tok/s (the serving
+    role of reference multi_gpu_wrapper.py:143-321)."""
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.engine.scheduler import ContinuousBatcher
+    from accessory_tpu.models import llama
+
+    class _Tok:
+        """Synthetic tokenizer: maps any prompt to a fixed-length id list."""
+        eos_id = 2
+        n_words = 32000
+
+        def encode(self, s, bos=True, eos=False):
+            rng = np.random.RandomState(abs(hash(s)) % (1 << 31))
+            return [1] + list(rng.randint(3, 32000, prompt_len - 1))
+
+        def encode_segment(self, s):
+            return [3]
+
+        def encode_wo_prefix_space(self, s):
+            return [3]
+
+        def decode(self, ids):
+            return " ".join(map(str, ids))
+
+    args = LLaMAArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
+                     vocab_size=32000, multiple_of=256, max_seq_len=512,
+                     dtype="bfloat16")
+    params = synthetic_quantized_params(
+        lambda: llama.init_params(jax.random.PRNGKey(0), args),
+        jax.random.PRNGKey(0))
+    cb = ContinuousBatcher(llama, args, params, _Tok(), slots=slots,
+                           page_size=page_size)
+
+    # warm the compile caches (prefill bucket + decode) before timing
+    cb.add_request("warmup", max_gen_len=4)
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+    cb.finished.clear()
+
+    rng = np.random.RandomState(0)
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, n_requests))
+    t0 = time.perf_counter()
+    submitted = 0
+    ttft = {}
+    first_seen = {}
+    n_generated = 0
+    while submitted < n_requests or cb.pending or \
+            any(r is not None for r in cb.active.values()):
+        now = time.perf_counter() - t0
+        while submitted < n_requests and arrivals[submitted] <= now:
+            uid = cb.add_request(f"req{submitted}", max_gen_len=gen_len)
+            ttft[uid] = arrivals[submitted]
+            submitted += 1
+        before = {s: (r.uid if r else None) for s, r in cb.active.items()}
+        cb.step()
+        now = time.perf_counter() - t0
+        for s, r in cb.active.items():
+            if r is not None and r.uid not in first_seen:
+                first_seen[r.uid] = now
+        for r in cb.finished:
+            if r.uid not in first_seen:
+                first_seen[r.uid] = now
+    total = time.perf_counter() - t0
+    n_generated = sum(len(r.output_tokens) for r in cb.finished)
+    ttfts = sorted(first_seen[u] - ttft[u] for u in ttft if u in first_seen)
+    p50 = ttfts[len(ttfts) // 2] if ttfts else 0.0
+    print(json.dumps({
+        "metric": f"scheduler serving TinyLlama W4 {slots} slots Poisson",
+        "value": round(n_generated / total, 1), "unit": "tok/s",
+        "p50_ttft_ms": round(p50 * 1e3, 1),
+        "vs_baseline": 0.0}), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
-                    choices=[None, "tiny", "7b", "moe", "sphinx", "ttft"])
+                    choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
+                             "sched"])
     a = ap.parse_args()
+    if a.only == "sched":
+        bench_scheduler()
     if a.only in (None, "tiny"):
         bench_llama_decode("TinyLlama-1.1B",
                            dict(dim=2048, n_layers=22, n_heads=32,

@@ -107,3 +107,28 @@ def test_param_axes_tree_matches_params(model):
     args, params = model
     axes = llama.param_axes(args)
     jax.tree.map(lambda p, a: None, params, axes)  # same structure or raises
+
+
+def test_long_decode_consistency():
+    """Long incremental decode (150+ steps) matches the teacher-forced
+    full forward on the lane-major cache."""
+    N = 152
+    args = LLaMAArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                     vocab_size=64, multiple_of=16, max_seq_len=N + 16,
+                     dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    cache = llama.init_kv_cache(args, 1, max_len=N + 16)
+    seq = jnp.asarray(np.random.RandomState(0).randint(1, 64, (1, N)),
+                      jnp.int32)
+    logits, cache = llama.forward(params, args, seq[:, :8], cache=cache,
+                                  cur_pos=0)
+    outs = [logits[:, -1]]
+    for i in range(8, seq.shape[1]):
+        logits, cache = llama.forward(params, args, seq[:, i:i + 1],
+                                      cache=cache, cur_pos=i)
+        outs.append(logits[:, -1])
+    full, _ = llama.forward(params, args, seq)
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(o[0]),
+                                   np.asarray(full[0, 7 + i]),
+                                   rtol=2e-4, atol=2e-4)
