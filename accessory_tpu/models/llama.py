@@ -214,9 +214,17 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     att = layer["attention"]
 
     x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
-    q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
-    k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
-    v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
+    if "wqkv" in att:
+        # decode-time fused projection (quant/fuse.py): one full-width
+        # matmul, split on the output axis
+        qkv = module_linear(x, att["wqkv"])
+        q = qkv[..., :nq * hd].reshape(b, sq, nq, hd)
+        k = qkv[..., nq * hd:(nq + nkv) * hd].reshape(b, sq, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd:].reshape(b, sq, nkv, hd)
+    else:
+        q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
+        k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
+        v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
     q = apply_rope(q, cos, sin, args.rope_style)
     k = apply_rope(k, cos, sin, args.rope_style)
 
@@ -231,8 +239,14 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
 
     x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
     ff = layer["feed_forward"]
-    gate = jax.nn.silu(module_linear(x, ff["w1"]))
-    h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
+    if "w13" in ff:
+        gu = module_linear(x, ff["w13"])
+        hidden = gu.shape[-1] // 2
+        gate = jax.nn.silu(gu[..., :hidden])
+        h = h + module_linear(gate * gu[..., hidden:], ff["w2"])
+    else:
+        gate = jax.nn.silu(module_linear(x, ff["w1"]))
+        h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
     return h, k, v
 
 

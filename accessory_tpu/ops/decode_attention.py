@@ -21,6 +21,7 @@ Attention.forward (cache read + sdpa).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -71,6 +72,94 @@ def _kernel(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, out_ref):
         preferred_element_type=jnp.float32, precision=prec)  # (R, HD)
     out = out + p_new * vn[None, :]
     out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+
+
+def _kernel_bloop(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, out_ref):
+    """Grid (NKV, B // b_blk) with an unrolled loop over a batch block
+    inside each program.
+
+    Rationale (BENCHMARKS.md round 2): the grid-(B, NKV) kernel issues
+    B*NKV*L tiny programs per decode step (704 at TinyLlama scale) and the
+    fixed per-program cost put it at ~2.5x its streaming bound. Same math,
+    b_blk x the work per program: blocks are (b_blk, 1, ...) and the batch
+    loop is a static Python loop, so the cache still streams exactly once.
+    b_blk is picked so double-buffered cache blocks fit VMEM (~16 MB/core).
+    """
+    B = q_ref.shape[0]
+    base = pl.program_id(1) * B
+    hd = q_ref.shape[3]
+    scale = hd ** -0.5
+    prec = (jax.lax.Precision.HIGHEST if kc_ref.dtype == jnp.float32
+            else None)
+    for b in range(B):
+        length = lens_ref[base + b]
+        q = q_ref[b, 0]                                # (R, HD)
+        kc = kc_ref[b, 0]                              # (HD, S)
+        vc = vc_ref[b, 0]
+        s_old = jax.lax.dot_general(
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale                    # (R, S)
+        mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
+        s_old = jnp.where(mask, s_old, NEG_INF)
+
+        kn = kn_ref[b, 0, 0].astype(jnp.float32)       # (HD,)
+        vn = vn_ref[b, 0, 0].astype(jnp.float32)
+        qf = q.astype(jnp.float32)
+        s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
+
+        m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+        p_old = jnp.exp(s_old - m)
+        p_new = jnp.exp(s_new - m)
+        denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
+
+        out = jax.lax.dot_general(
+            p_old.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out = out + p_new * vn[None, :]
+        out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
+
+
+# leave headroom for double buffering + q/out blocks in ~16 MB VMEM
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _pick_b_blk(b, hd, S, itemsize) -> int:
+    b_blk = b
+    while b_blk > 1 and 2 * b_blk * hd * S * itemsize > _VMEM_BUDGET:
+        b_blk //= 2
+    return b_blk if b % b_blk == 0 else 1
+
+
+@functools.partial(jax.jit, static_argnames=("b_blk", "interpret"))
+def _decode_attn_bloop(q, k_new, v_new, cache_k, cache_v, lengths,
+                       b_blk, interpret=False):
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    head = lambda j, i, lens: (i, j, 0, 0)
+    return pl.pallas_call(
+        _kernel_bloop,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nkv, b // b_blk),
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((b_blk, 1, r, hd), head,
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, k_new, v_new, cache_k, cache_v)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -131,8 +220,15 @@ def cached_attention_t(
         qg = q.reshape(b, nkv, n_rep, hd)
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
-        out = _decode_attn_pallas(qg, kn, vn, cache_k, cache_v, pos_arr,
-                                  interpret=not use_pallas)
+        # ACCESSORY_DECODE_ATTN=grid forces the old (B, NKV)-grid kernel
+        # (perf-ablation hook; bloop is the default — BENCHMARKS.md round 2)
+        if os.environ.get("ACCESSORY_DECODE_ATTN") == "grid":
+            out = _decode_attn_pallas(qg, kn, vn, cache_k, cache_v, pos_arr,
+                                      interpret=not use_pallas)
+        else:
+            b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize)
+            out = _decode_attn_bloop(qg, kn, vn, cache_k, cache_v, pos_arr,
+                                     b_blk=b_blk, interpret=not use_pallas)
         return out.reshape(b, 1, nq, hd)
 
     # XLA fallback (chunked prefill into a cache, CPU tests)
@@ -154,6 +250,46 @@ def cached_attention_t(
     out = out + jnp.einsum("bkrqs,bskh->bqkrh", p_new,
                            v_new.astype(jnp.float32))
     return out.reshape(b, sq, nq, hd).astype(q.dtype)
+
+
+def _col_write_kernel(pos_ref, upd_ref, cache_ref, out_ref):
+    """Grid (L,). Blocks: upd (1,B,NKV,HD,1); cache/out (1,B,NKV,HD,128) —
+    the single 128-lane tile containing ``pos``, selected by the scalar-
+    prefetched position in the index_map. out aliases cache, so the rest of
+    the pool is untouched: per step only L*B*NKV*HD*128 elements move
+    (~23 MB r+w at TinyLlama scale) instead of the whole pool
+    (lax.dynamic_update_slice copies all of it — measured 0.4 ms/step)."""
+    col = jax.lax.rem(pos_ref[0], 128)
+    blk = cache_ref[...]
+    upd = upd_ref[...]
+    mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 4) == col
+    out_ref[...] = jnp.where(mask, upd, blk)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_col_inplace(cache, upd, pos, interpret=False):
+    L, B, NKV, HD, S = cache.shape
+    tile = lambda l, scal: (l, 0, 0, 0, scal[0] // 128)
+    return pl.pallas_call(
+        _col_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec((1, B, NKV, HD, 1),
+                             lambda l, scal: (l, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, NKV, HD, 128), tile,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, B, NKV, HD, 128), tile,
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        # inputs are (scalar_prefetch, upd, cache) → alias cache (input 2)
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)), upd, cache)
 
 
 def _write_kernel(pos_ref, upd_ref, cache_ref, out_ref, sem):
@@ -200,18 +336,28 @@ def write_kv_t(cache_k, cache_v, new_k, new_v, pos,
     cache_*: (L, B, NKV, HD, S); new_*: (L, B, sq, NKV, HD); pos: scalar
     start position. One dynamic_update_slice per pool by default.
 
-    NOTE: the aliased Pallas DMA variant (``use_pallas=True``) only compiles
-    when sq is a multiple of 128 — Mosaic requires lane-dim slices aligned
-    to 128, so single-token decode writes cannot use it on this layout. A
-    lane-aligned staging ring (flush every 128 steps) is the known fix."""
+    Dispatch: sq == 1 (decode) uses the aliased single-lane-tile
+    read-modify-write kernel (no pool copy); sq % 128 == 0 uses the aliased
+    whole-slab DMA kernel (Mosaic requires lane-dim DMA slices aligned to
+    128); anything else falls back to dynamic_update_slice."""
     sq = new_k.shape[2]
     upd_k = new_k.transpose(0, 1, 3, 4, 2).astype(cache_k.dtype)
     upd_v = new_v.transpose(0, 1, 3, 4, 2).astype(cache_v.dtype)
+    interp = jax.default_backend() != "tpu"
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and sq % 128 == 0
-    if use_pallas:
-        return (_write_inplace(cache_k, upd_k, pos),
-                _write_inplace(cache_v, upd_v, pos))
+        use_pallas = not interp and (sq == 1 or sq % 128 == 0)
+        # ACCESSORY_KV_WRITE=dus forces the dynamic_update_slice fallback
+        # (perf-ablation hook)
+        if os.environ.get("ACCESSORY_KV_WRITE") == "dus":
+            use_pallas = False
+    if use_pallas and sq == 1:
+        S = cache_k.shape[4]
+        if S % 128 == 0:
+            return (_write_col_inplace(cache_k, upd_k, pos, interpret=interp),
+                    _write_col_inplace(cache_v, upd_v, pos, interpret=interp))
+    elif use_pallas:
+        return (_write_inplace(cache_k, upd_k, pos, interpret=interp),
+                _write_inplace(cache_v, upd_v, pos, interpret=interp))
     idx = (0, 0, 0, 0, pos)
     return (jax.lax.dynamic_update_slice(cache_k, upd_k, idx),
             jax.lax.dynamic_update_slice(cache_v, upd_v, idx))

@@ -110,8 +110,18 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, out_ref, acc_ref, *,
     # zero-point correction via one tiny MXU dot: xsum (TM, G) @ zs (G, TN).
     # xsum in f32 — m is small, the reduce is cheap, and it avoids bf16
     # accumulation error over group_size adds.
-    xsum = jnp.sum(x.astype(jnp.float32).reshape(x.shape[0], G, group_size),
-                   axis=2)
+    if group_size == 128:
+        # lane-width groups: reshape puts one group per lane register row
+        xsum = jnp.sum(
+            x.astype(jnp.float32).reshape(x.shape[0], G, group_size), axis=2)
+    else:
+        # Mosaic rejects the (TM, G, gs) shape cast unless gs is the lane
+        # width — segment-sum through the MXU instead: x @ onehot(k -> group)
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (tk, G), 0) // group_size
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (tk, G), 1)
+        xsum = jnp.dot(x.astype(jnp.float32),
+                       (row_g == col_g).astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
     acc_ref[:] -= jnp.dot(xsum, zs_all, preferred_element_type=jnp.float32)
 
     @pl.when(k_idx == nk - 1)

@@ -1,0 +1,91 @@
+"""Decode-time weight fusion: QKV and gate/up merged into single matmuls.
+
+At decode (m = batch) every matmul is HBM-bound and pays a fixed kernel
+dispatch + tile-scheduling cost. The k/v projections of a GQA model are
+skinny (out_dim = n_kv_heads * head_dim, e.g. 256 at TinyLlama scale) —
+far below the fused W4 kernel's preferred 512-lane output tiles. Fusing
+wq|wk|wv and w1|w3 along the *output* axis turns 5 kernel launches per
+layer into 2 with full-width tiles, identical math.
+
+This is a pure parameter-tree transform (applied after load/quantize, before
+the decode loop): the output axis of both the packed nibbles and the
+scales/zeros is plain data lanes for every layout ("std" planes-packing and
+the int8-staged "planes" layout both pack along K), so fusion is a
+concatenation. Models branch on the presence of the fused keys, which is
+static under jit.
+
+Reference role: the reference keeps separate ColumnParallelLinear wq/wk/wv
+(accessory/model/LLM/llama.py:120-150); fusion is a TPU-side optimization
+with no checkpoint-format impact (checkpoints always store unfused).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from accessory_tpu.quant.qtensor import QuantizedWeight
+
+
+def _concat_weights(mods, axis=-1):
+    """Concatenate linear-module weights along the output axis. All must be
+    the same representation: either plain arrays or QuantizedWeight with
+    identical (bits, group_size, in_dim, layout, tile_k)."""
+    ws = [m["weight"] for m in mods]
+    if all(isinstance(w, QuantizedWeight) for w in ws):
+        w0 = ws[0]
+        for w in ws[1:]:
+            if (w.bits, w.group_size, w.in_dim, w.layout, w.tile_k) != (
+                    w0.bits, w0.group_size, w0.in_dim, w0.layout, w0.tile_k):
+                return None
+        return QuantizedWeight(
+            packed=jnp.concatenate([w.packed for w in ws], axis=-1),
+            scales=jnp.concatenate([w.scales for w in ws], axis=-1),
+            zeros=jnp.concatenate([w.zeros for w in ws], axis=-1),
+            bits=w0.bits, group_size=w0.group_size, in_dim=w0.in_dim,
+            out_dim=sum(w.out_dim for w in ws), act_dtype=w0.act_dtype,
+            layout=w0.layout, tile_k=w0.tile_k)
+    if any(isinstance(w, QuantizedWeight) for w in ws):
+        return None  # mixed representations: leave unfused
+    if len({w.shape[:-1] for w in ws}) != 1:
+        return None
+    return jnp.concatenate(ws, axis=-1)
+
+
+def _fusible(mods) -> bool:
+    # LoRA / bias modules keep their own per-projection adapters — skip
+    return all(set(m.keys()) == {"weight"} for m in mods)
+
+
+def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return a params tree with per-layer wqkv / w13 fused weights.
+
+    Leaves the tree unchanged where fusion does not apply (PEFT adapters,
+    mixed quantization, MoE feed-forwards). Safe to call on any LLaMA-family
+    params dict; models consume the fused keys when present.
+    """
+    layers = params.get("layers")
+    if not isinstance(layers, dict) or "attention" not in layers:
+        return params
+    out = dict(params)
+    layers = dict(layers)
+    att = dict(layers["attention"])
+    if all(k in att for k in ("wq", "wk", "wv")) and _fusible(
+            [att["wq"], att["wk"], att["wv"]]):
+        fused = _concat_weights([att["wq"], att["wk"], att["wv"]])
+        if fused is not None:
+            att["wqkv"] = {"weight": fused}
+            del att["wq"], att["wk"], att["wv"]
+    layers["attention"] = att
+    ff = layers.get("feed_forward")
+    if isinstance(ff, dict) and all(k in ff for k in ("w1", "w3")) and \
+            _fusible([ff["w1"], ff["w3"]]):
+        fused = _concat_weights([ff["w1"], ff["w3"]])
+        if fused is not None:
+            ff = dict(ff)
+            ff["w13"] = {"weight": fused}
+            del ff["w1"], ff["w3"]
+            layers["feed_forward"] = ff
+    out["layers"] = layers
+    return out

@@ -18,6 +18,7 @@ bytes each step reads. Timing uses host-fetch barriers with a two-point fit
 """
 
 import json
+import os
 import sys
 import time
 
@@ -63,19 +64,23 @@ def _host_synthetic_w4(args, group_size=128):
     base = (rng.standard_normal(8191) * 0.02).astype(np.float32)
     shapes = jax.eval_shape(lambda: llama.init_params(jax.random.PRNGKey(0), args))
 
+    quant_head = os.environ.get("BENCH_W4_HEAD", "0") == "1"
+
     def visit(path, s):
         name = _path_str(path)
+        block = DEFAULT_BLOCKLIST if (quant_head and "output" in name) else (
+            tuple(DEFAULT_BLOCKLIST) + ("output",))
         quantizable = (
-            not any(b in name for b in tuple(DEFAULT_BLOCKLIST) + ("output",))
+            not any(b in name for b in block)
             and jnp.issubdtype(s.dtype, jnp.floating)
-            and s.ndim == 3 and s.shape[1] % group_size == 0)
+            and s.ndim in (2, 3) and s.shape[-2] % group_size == 0)
         if quantizable:
             from accessory_tpu.ops.quant_matmul_planes import choose_tile_k
 
-            L, k, n = s.shape
-            packed = rng.randint(0, 2 ** 32, size=(L, k // 8, n),
+            lead, (k, n) = s.shape[:-2], s.shape[-2:]
+            packed = rng.randint(0, 2 ** 32, size=lead + (k // 8, n),
                                  dtype=np.uint32)
-            scales = rng.uniform(1e-3, 2e-3, size=(L, k // group_size, n)
+            scales = rng.uniform(1e-3, 2e-3, size=lead + (k // group_size, n)
                                  ).astype(np.float32)
             zeros = np.round(rng.uniform(0, 15, size=scales.shape)
                              ).astype(np.float32)
@@ -105,6 +110,9 @@ def main() -> None:
     # costs a dozen remote compiles through the relay (can exceed the
     # driver's timeout when the compile service is congested)
     params = _host_synthetic_w4(args)
+    if os.environ.get("BENCH_FUSE", "1") == "1":
+        from accessory_tpu.quant.fuse import fuse_for_decode
+        params = fuse_for_decode(params)
     cache = llama.init_kv_cache(args, BATCH, max_len=CACHE_LEN)
 
     weight_bytes = leaf_bytes(params)

@@ -1,0 +1,101 @@
+"""Unit tests for the lane-major decode-attention + cache-write kernels.
+
+Runs every Pallas kernel in interpret mode against the XLA fallback path
+(the numerics oracle) — the model suites exercise the dispatch end-to-end,
+these pin the kernels themselves (batch-blocked grid, aliased writes).
+
+Reference role: decode branch of accessory/model/LLM/llama.py
+Attention.forward (cache read + write + sdpa).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accessory_tpu.ops import decode_attention as da
+
+
+def _mk(b=4, nkv=2, n_rep=3, hd=64, S=256, dtype=jnp.float32, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.standard_normal((b, 1, nkv * n_rep, hd)), dtype)
+    kn = jnp.asarray(rng.standard_normal((b, 1, nkv, hd)), dtype)
+    vn = jnp.asarray(rng.standard_normal((b, 1, nkv, hd)), dtype)
+    ck = jnp.asarray(rng.standard_normal((b, nkv, hd, S)), dtype)
+    cv = jnp.asarray(rng.standard_normal((b, nkv, hd, S)), dtype)
+    lens = jnp.asarray(rng.randint(1, S, size=(b,)), jnp.int32)
+    return q, kn, vn, ck, cv, lens
+
+
+@pytest.mark.parametrize("b_blk", [1, 2, 4])
+def test_bloop_kernel_matches_oracle(b_blk):
+    q, kn, vn, ck, cv, lens = _mk()
+    b, _, nq, hd = q.shape
+    nkv = ck.shape[1]
+    ref = da.cached_attention_t(q, kn, vn, ck, cv, lens, use_pallas=False)
+
+    qg = q.reshape(b, nkv, nq // nkv, hd)
+    out = da._decode_attn_bloop(
+        qg, kn.reshape(b, nkv, 1, hd), vn.reshape(b, nkv, 1, hd),
+        ck, cv, lens, b_blk=b_blk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.reshape(ref.shape)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_grid_bnkv_kernel_matches_oracle():
+    q, kn, vn, ck, cv, lens = _mk(seed=1)
+    b, _, nq, hd = q.shape
+    nkv = ck.shape[1]
+    ref = da.cached_attention_t(q, kn, vn, ck, cv, lens, use_pallas=False)
+    out = da._decode_attn_pallas(
+        q.reshape(b, nkv, nq // nkv, hd), kn.reshape(b, nkv, 1, hd),
+        vn.reshape(b, nkv, 1, hd), ck, cv, lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.reshape(ref.shape)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pick_b_blk():
+    # fits: whole batch in one block
+    assert da._pick_b_blk(8, 64, 256, 2) == 8
+    # big cache blocks: halve until under budget
+    assert da._pick_b_blk(32, 128, 8192, 2) in (1, 2)
+    # non-divisible batch falls back to 1
+    assert da._pick_b_blk(6, 128, 8192, 2) == 1
+    bb = da._pick_b_blk(16, 64, 4096, 2)
+    assert 16 % bb == 0 and 2 * bb * 64 * 4096 * 2 <= da._VMEM_BUDGET
+
+
+@pytest.mark.parametrize("pos", [0, 127, 128, 255])
+def test_write_col_inplace_matches_dus(pos):
+    rng = np.random.RandomState(2)
+    L, B, NKV, HD, S = 3, 2, 2, 8, 256
+    cache = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    upd = jnp.asarray(rng.standard_normal((L, B, NKV, HD, 1)), jnp.float32)
+    want = jax.lax.dynamic_update_slice(cache, upd, (0, 0, 0, 0, pos))
+    got = da._write_col_inplace(cache, upd, pos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_write_slab_inplace_matches_dus():
+    rng = np.random.RandomState(3)
+    L, B, NKV, HD, S = 2, 2, 2, 8, 512
+    sq, pos = 128, 128
+    cache = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    upd = jnp.asarray(rng.standard_normal((L, B, NKV, HD, sq)), jnp.float32)
+    want = jax.lax.dynamic_update_slice(cache, upd, (0, 0, 0, 0, pos))
+    got = da._write_inplace(cache, upd, pos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_write_kv_t_dispatch_parity():
+    """write_kv_t forced down the pallas path == default (DUS on CPU)."""
+    rng = np.random.RandomState(4)
+    L, B, NKV, HD, S = 2, 2, 2, 8, 256
+    ck = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    nk = jnp.asarray(rng.standard_normal((L, B, 1, NKV, HD)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((L, B, 1, NKV, HD)), jnp.float32)
+    k0, v0 = da.write_kv_t(ck, cv, nk, nv, 37)
+    k1, v1 = da.write_kv_t(ck, cv, nk, nv, 37, use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))

@@ -135,3 +135,24 @@ def test_sphinx_generate_response(tmp_path):
     out = m.generate_response([["What is in the image?", None]], image=img,
                               max_gen_len=4)
     assert isinstance(out, str)
+
+
+def test_cli_demo_multi_model_compare(model, monkeypatch, capsys, tmp_path):
+    """Drive the terminal demo loop: two 'models' answer each prompt side by
+    side; '/image' attaches an image for the next turn (multimodal path is a
+    no-op for a text model fixture, so only the text flow is asserted)."""
+    from accessory_tpu.demos import cli
+
+    import accessory_tpu.meta as meta_mod
+
+    monkeypatch.setattr(meta_mod.MetaModel, "from_pretrained",
+                        classmethod(lambda _cls, path, **kw: model))
+
+    turns = iter(["hello world", "/reset", "the quick brown", ""])
+    monkeypatch.setattr("builtins.input", lambda *_: next(turns))
+
+    args = cli.get_args_parser().parse_args(
+        ["--pretrained_path", "ckptA", "ckptB", "--max_gen_len", "4"])
+    cli.main(args)
+    out = capsys.readouterr().out
+    assert "[ckptA] assistant:" in out and "[ckptB] assistant:" in out

@@ -160,3 +160,14 @@ def test_w4_quantization_logit_fidelity(tmp_path):
     assert agree >= 0.75, agree
     # logit deviation bounded relative to the logit scale
     assert np.abs(fp - q).max() <= 0.35 * np.abs(fp).max()
+
+    # W4 output head (decode-throughput option): argmax must stay stable
+    # relative to the body-only quantization — the head is the single
+    # largest bf16 leaf at decode time (BENCHMARKS.md round-2 budget)
+    qh = quantize_params(params, bits=4, group_size=16, layout="std",
+                         quantize_output=True)
+    qh_logits, _ = llama.forward(qh, args, jnp.asarray(toks))
+    qh_logits = np.asarray(qh_logits[0])
+    agree_h = np.mean(np.argmax(fp, -1) == np.argmax(qh_logits, -1))
+    assert agree_h >= 0.75, agree_h
+    assert np.abs(fp - qh_logits).max() <= 0.4 * np.abs(fp).max()

@@ -80,3 +80,59 @@ def test_w3_nibble_pack_fast_path():
     np.testing.assert_allclose(d3, d3n, rtol=1e-6, atol=1e-7)
     # nibble container is kernel-eligible storage (bits=4)
     assert q3n.bits == 4 and q3.bits == 3
+
+
+def test_fuse_for_decode_parity():
+    """Fused wqkv/w13 decode weights produce bit-identical outputs (the
+    fusion is a pure output-axis concatenation; quant groups run along K)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+    from accessory_tpu.quant import quantize_params
+    from accessory_tpu.quant.fuse import fuse_for_decode
+
+    args = LLaMAArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     vocab_size=128, multiple_of=16, max_seq_len=64,
+                     dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+
+    for tree in (params, quantize_params(params, bits=4, group_size=16,
+                                         layout="std")):
+        fused = fuse_for_decode(tree)
+        assert "wqkv" in fused["layers"]["attention"]
+        assert "w13" in fused["layers"]["feed_forward"]
+        a, _ = llama.forward(tree, args, toks)
+        b, _ = llama.forward(fused, args, toks)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # decode step through the cache path
+    q = quantize_params(params, bits=4, group_size=16, layout="std")
+    cache = llama.init_kv_cache(args, 2)
+    l1, c1 = llama.forward(q, args, toks[:, :1], cache=cache, cur_pos=0)
+    l2, c2 = llama.forward(fuse_for_decode(q), args, toks[:, :1],
+                           cache=cache, cur_pos=0)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(c1["k"]), np.asarray(c2["k"]))
+
+
+def test_fuse_skips_peft_and_mixed():
+    """LoRA-bearing projections and mixed quant/dense trees stay unfused."""
+    import jax
+
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+    from accessory_tpu.quant.fuse import fuse_for_decode
+
+    args = LLaMAArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     vocab_size=128, multiple_of=16, max_seq_len=64,
+                     dtype="float32", lora_rank=4)
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    fused = fuse_for_decode(params)
+    att = fused["layers"]["attention"]
+    assert "wqkv" not in att and "wq" in att
+    assert "w13" not in fused["layers"]["feed_forward"]
