@@ -31,8 +31,9 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import LLaMAArgs
 from accessory_tpu.ops.attention import attention
-from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
-from accessory_tpu.ops.linear import linear, module_linear
+from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                write_kv_layer, write_kv_t)
+from accessory_tpu.ops.linear import linear, module_linear, module_linear_nr
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
@@ -181,7 +182,7 @@ def param_axes(args: LLaMAArgs) -> Params:
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(args: LLaMAArgs, batch: int, max_len: Optional[int] = None,
-                  dtype=None) -> Dict[str, jnp.ndarray]:
+                  dtype=None, stacked: bool = True) -> Dict[str, jnp.ndarray]:
     """Static per-layer KV cache, stacked on the layer axis.
 
     TPU version of the reference's lazily-allocated (max_bsz, max_seq, n_kv,
@@ -194,7 +195,35 @@ def init_kv_cache(args: LLaMAArgs, batch: int, max_len: Optional[int] = None,
     # 128-wide vector lanes so the Pallas decode-attention kernel streams
     # the cache once with no relayout (ops/decode_attention.py)
     shape = (args.n_layers, batch, args.kv_heads, args.head_dim, max_len)
+    if not stacked:
+        # per-layer buffers for the unrolled decode loop (unstack_layers):
+        # scan-sliced operands can't fuse into Pallas calls, so stacked
+        # caches pay a full copy per layer inside the layer scan
+        return {"k": tuple(jnp.zeros(shape[1:], dtype)
+                           for _ in range(args.n_layers)),
+                "v": tuple(jnp.zeros(shape[1:], dtype)
+                           for _ in range(args.n_layers))}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def unstack_layers(params: Params) -> Params:
+    """Convert the stacked ``layers`` pytree (every leaf (L, ...)) into a
+    tuple of per-layer trees. forward() then unrolls the decode loop so
+    each Pallas kernel reads its own HBM buffer instead of a scan-slice
+    copy (BENCHMARKS.md round 2 — the slice copy re-streams all weights).
+
+    Apply AFTER quantization/fusion, before jit. One-time device slicing.
+    """
+    layers = params["layers"]
+    if isinstance(layers, (list, tuple)):
+        return params
+    import jax as _jax
+
+    n = _jax.tree.leaves(layers)[0].shape[0]
+    out = dict(params)
+    out["layers"] = tuple(
+        _jax.tree.map(lambda x: x[i], layers) for i in range(n))
+    return out
 
 
 def cache_axes() -> Dict[str, Tuple]:
@@ -213,15 +242,18 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
 
-    x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
     if "wqkv" in att:
         # decode-time fused projection (quant/fuse.py): one full-width
-        # matmul, split on the output axis
-        qkv = module_linear(x, att["wqkv"])
+        # matmul, split on the output axis; attention_norm folds into the
+        # kernel prologue (module_linear_nr)
+        qkv = module_linear_nr(h, att["wqkv"],
+                               norm=layer["attention_norm"],
+                               eps=args.norm_eps)
         q = qkv[..., :nq * hd].reshape(b, sq, nq, hd)
         k = qkv[..., nq * hd:(nq + nkv) * hd].reshape(b, sq, nkv, hd)
         v = qkv[..., (nq + nkv) * hd:].reshape(b, sq, nkv, hd)
     else:
+        x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
         q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
         k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
         v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
@@ -235,18 +267,20 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
-    h = h + module_linear(out.reshape(b, sq, nq * hd), att["wo"])
+    h = module_linear_nr(out.reshape(b, sq, nq * hd), att["wo"], residual=h)
 
-    x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
     ff = layer["feed_forward"]
     if "w13" in ff:
-        gu = module_linear(x, ff["w13"])
+        gu = module_linear_nr(h, ff["w13"], norm=layer["ffn_norm"],
+                              eps=args.norm_eps)
         hidden = gu.shape[-1] // 2
         gate = jax.nn.silu(gu[..., :hidden])
-        h = h + module_linear(gate * gu[..., hidden:], ff["w2"])
+        h = module_linear_nr(gate * gu[..., hidden:], ff["w2"], residual=h)
     else:
+        x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
         gate = jax.nn.silu(module_linear(x, ff["w1"]))
-        h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
+        h = module_linear_nr(gate * module_linear(x, ff["w3"]), ff["w2"],
+                             residual=h)
     return h, k, v
 
 
@@ -276,7 +310,12 @@ def forward(
         jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
     sq = h.shape[1]  # embeds may be longer than tokens (multimodal splice)
 
-    max_rope = (cache["k"].shape[4] if cache is not None else sq)
+    if cache is not None:
+        ck0 = cache["k"]
+        max_rope = (ck0[0].shape[3] if isinstance(ck0, (list, tuple))
+                    else ck0.shape[4])
+    else:
+        max_rope = sq
     cos_full, sin_full = precompute_rope(
         args.head_dim, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
@@ -293,7 +332,23 @@ def forward(
             _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             static_argnums=(2,))
 
-    if cache is not None:
+    if cache is not None and isinstance(params["layers"], (list, tuple)):
+        # UNROLLED decode loop over unstacked layers (see unstack_layers):
+        # inside lax.scan, the per-layer dynamic-slice of stacked weights
+        # and cache cannot fuse into a Pallas custom call, so XLA
+        # materializes a copy of every operand every layer — re-streaming
+        # all touched bytes twice (measured ~0.9 ms/step at TinyLlama
+        # scale, BENCHMARKS.md round 2). With per-layer buffers the
+        # kernels read HBM directly and each layer writes its own slot.
+        new_k, new_v = [], []
+        for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
+            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
+                                    kv_len, ck, cv)
+            wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+            new_k.append(wk)
+            new_v.append(wv)
+        new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
+    elif cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
             h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
@@ -313,8 +368,8 @@ def forward(
         h, _ = jax.lax.scan(body, h, params["layers"])
         new_cache = None
 
-    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
-    logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    logits = module_linear_nr(h, params["output"], norm=params["norm"],
+                              eps=args.norm_eps).astype(jnp.float32)
     return logits, new_cache
 
 

@@ -252,81 +252,188 @@ def cached_attention_t(
     return out.reshape(b, sq, nq, hd).astype(q.dtype)
 
 
-def _col_write_kernel(pos_ref, upd_ref, cache_ref, out_ref):
+def _col_write_kernel(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
+                      outk_ref, outv_ref):
     """Grid (L,). Blocks: upd (1,B,NKV,HD,1); cache/out (1,B,NKV,HD,128) —
     the single 128-lane tile containing ``pos``, selected by the scalar-
-    prefetched position in the index_map. out aliases cache, so the rest of
-    the pool is untouched: per step only L*B*NKV*HD*128 elements move
-    (~23 MB r+w at TinyLlama scale) instead of the whole pool
-    (lax.dynamic_update_slice copies all of it — measured 0.4 ms/step)."""
+    prefetched position in the index_map. Outputs alias the caches, so the
+    rest of each pool is untouched: per step only 2*L*B*NKV*HD*128 elements
+    move (~46 MB r+w at TinyLlama scale) instead of the whole pools.
+
+    Both pools are written by ONE call on purpose: with separate aliased
+    calls, XLA memory-space assignment round-trips the second pool through
+    alternate memory (two full-pool copies per step, seen in compiled HLO —
+    BENCHMARKS.md round 2)."""
     col = jax.lax.rem(pos_ref[0], 128)
-    blk = cache_ref[...]
-    upd = upd_ref[...]
-    mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 4) == col
-    out_ref[...] = jnp.where(mask, upd, blk)
+    for upd_ref, blk_ref, out_ref in ((updk_ref, ck_ref, outk_ref),
+                                      (updv_ref, cv_ref, outv_ref)):
+        blk = blk_ref[...]
+        mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 4) == col
+        out_ref[...] = jnp.where(mask, upd_ref[...], blk)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _write_col_inplace(cache, upd, pos, interpret=False):
-    L, B, NKV, HD, S = cache.shape
+def _write_col_inplace(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
+    L, B, NKV, HD, S = cache_k.shape
     tile = lambda l, scal: (l, 0, 0, 0, scal[0] // 128)
+    upd_spec = pl.BlockSpec((1, B, NKV, HD, 1),
+                            lambda l, scal: (l, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pool_spec = pl.BlockSpec((1, B, NKV, HD, 128), tile,
+                             memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
     return pl.pallas_call(
         _col_write_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(L,),
-            in_specs=[
-                pl.BlockSpec((1, B, NKV, HD, 1),
-                             lambda l, scal: (l, 0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, B, NKV, HD, 128), tile,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, B, NKV, HD, 128), tile,
-                                   memory_space=pltpu.VMEM),
+            in_specs=[upd_spec, upd_spec, pool_spec, pool_spec],
+            out_specs=[pool_spec, pool_spec],
         ),
-        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
-        # inputs are (scalar_prefetch, upd, cache) → alias cache (input 2)
-        input_output_aliases={2: 0},
+        out_shape=[shape, shape],
+        # inputs are (scalar_prefetch, updk, updv, ck, cv) → alias both pools
+        input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
-    )(jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)), upd, cache)
+    )(jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      upd_k, upd_v, cache_k, cache_v)
 
 
-def _write_kernel(pos_ref, upd_ref, cache_ref, out_ref, sem):
-    """Aliased in-place slot write: DMA the update hyperslab into the cache
-    at [..., pos:pos+sq]. cache is aliased to the output, so XLA performs
-    NO copy of the pool (lax.dynamic_update_slice was measured to copy the
-    whole cache per step even with donation)."""
+def _write_kernel(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
+                  outk_ref, outv_ref, semk, semv):
+    """Aliased in-place slot write: DMA the update hyperslabs into both
+    caches at [..., pos:pos+sq]. Caches alias the outputs, so XLA performs
+    NO copy of the pools (lax.dynamic_update_slice was measured to copy the
+    whole cache per step even with donation; separate per-pool aliased calls
+    make memory-space assignment round-trip one pool — see _col_write_kernel)."""
     pos = pos_ref[0]
-    sq = upd_ref.shape[-1]
-    dma = pltpu.make_async_copy(
-        upd_ref, out_ref.at[:, :, :, :, pl.ds(pos, sq)], sem)
-    dma.start()
-    dma.wait()
+    sq = updk_ref.shape[-1]
+    dk = pltpu.make_async_copy(
+        updk_ref, outk_ref.at[:, :, :, :, pl.ds(pos, sq)], semk)
+    dv = pltpu.make_async_copy(
+        updv_ref, outv_ref.at[:, :, :, :, pl.ds(pos, sq)], semv)
+    dk.start()
+    dv.start()
+    dk.wait()
+    dv.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _write_inplace(cache, upd, pos, interpret=False):
-    L, B, NKV, HD, S = cache.shape
+def _write_inplace(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
+    shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     return pl.pallas_call(
         _write_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA],
+            in_specs=[any_spec] * 4,
+            out_specs=[any_spec] * 2,
+            scratch_shapes=[pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
         ),
-        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
-        # inputs are (scalar_prefetch, upd, cache) → alias cache (input 2)
-        # to the output
-        input_output_aliases={2: 0},
+        out_shape=[shape, shape],
+        # inputs are (scalar_prefetch, updk, updv, ck, cv) → alias both pools
+        input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(jnp.asarray([pos], jnp.int32), upd, cache)
+    )(jnp.asarray([pos], jnp.int32), upd_k, upd_v, cache_k, cache_v)
+
+
+def _col_write_kernel4(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
+                       outk_ref, outv_ref):
+    """Per-layer (4D) variant of _col_write_kernel: one program, blocks are
+    the (B, NKV, HD, 128) lane tile containing ``pos``."""
+    col = jax.lax.rem(pos_ref[0], 128)
+    for upd_ref, blk_ref, out_ref in ((updk_ref, ck_ref, outk_ref),
+                                      (updv_ref, cv_ref, outv_ref)):
+        blk = blk_ref[...]
+        mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 3) == col
+        out_ref[...] = jnp.where(mask, upd_ref[...], blk)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_col_layer(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
+    B, NKV, HD, S = cache_k.shape
+    tile = lambda _, scal: (0, 0, 0, scal[0] // 128)
+    upd_spec = pl.BlockSpec((B, NKV, HD, 1), lambda _, scal: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    pool_spec = pl.BlockSpec((B, NKV, HD, 128), tile,
+                             memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    return pl.pallas_call(
+        _col_write_kernel4,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[upd_spec, upd_spec, pool_spec, pool_spec],
+            out_specs=[pool_spec, pool_spec],
+        ),
+        out_shape=[shape, shape],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      upd_k, upd_v, cache_k, cache_v)
+
+
+def _write_kernel4(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
+                   outk_ref, outv_ref, semk, semv):
+    pos = pos_ref[0]
+    sq = updk_ref.shape[-1]
+    dk = pltpu.make_async_copy(
+        updk_ref, outk_ref.at[:, :, :, pl.ds(pos, sq)], semk)
+    dv = pltpu.make_async_copy(
+        updv_ref, outv_ref.at[:, :, :, pl.ds(pos, sq)], semv)
+    dk.start()
+    dv.start()
+    dk.wait()
+    dv.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_slab_layer(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
+    shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        _write_kernel4,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[any_spec] * 4,
+            out_specs=[any_spec] * 2,
+            scratch_shapes=[pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=[shape, shape],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray([pos], jnp.int32), upd_k, upd_v, cache_k, cache_v)
+
+
+def write_kv_layer(cache_k, cache_v, new_k, new_v, pos,
+                   use_pallas: Optional[bool] = None):
+    """Per-layer bulk write into a lane-major cache (unrolled decode loop).
+
+    cache_*: (B, NKV, HD, S); new_*: (B, sq, NKV, HD); pos: scalar start.
+    Same dispatch rules as write_kv_t, minus the layer axis."""
+    sq = new_k.shape[1]
+    upd_k = new_k.transpose(0, 2, 3, 1).astype(cache_k.dtype)
+    upd_v = new_v.transpose(0, 2, 3, 1).astype(cache_v.dtype)
+    interp = jax.default_backend() != "tpu"
+    if use_pallas is None:
+        use_pallas = not interp and (sq == 1 or sq % 128 == 0)
+        if os.environ.get("ACCESSORY_KV_WRITE") == "dus":
+            use_pallas = False
+    if use_pallas and sq == 1:
+        if cache_k.shape[3] % 128 == 0:
+            return _write_col_layer(cache_k, cache_v, upd_k, upd_v, pos,
+                                    interpret=interp)
+    elif use_pallas:
+        return _write_slab_layer(cache_k, cache_v, upd_k, upd_v, pos,
+                                 interpret=interp)
+    idx = (0, 0, 0, pos)
+    return (jax.lax.dynamic_update_slice(cache_k, upd_k, idx),
+            jax.lax.dynamic_update_slice(cache_v, upd_v, idx))
 
 
 def write_kv_t(cache_k, cache_v, new_k, new_v, pos,
@@ -353,11 +460,11 @@ def write_kv_t(cache_k, cache_v, new_k, new_v, pos,
     if use_pallas and sq == 1:
         S = cache_k.shape[4]
         if S % 128 == 0:
-            return (_write_col_inplace(cache_k, upd_k, pos, interpret=interp),
-                    _write_col_inplace(cache_v, upd_v, pos, interpret=interp))
+            return _write_col_inplace(cache_k, cache_v, upd_k, upd_v, pos,
+                                      interpret=interp)
     elif use_pallas:
-        return (_write_inplace(cache_k, upd_k, pos, interpret=interp),
-                _write_inplace(cache_v, upd_v, pos, interpret=interp))
+        return _write_inplace(cache_k, cache_v, upd_k, upd_v, pos,
+                              interpret=interp)
     idx = (0, 0, 0, 0, pos)
     return (jax.lax.dynamic_update_slice(cache_k, upd_k, idx),
             jax.lax.dynamic_update_slice(cache_v, upd_v, idx))

@@ -29,6 +29,33 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     return y
 
 
+def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
+                     eps: float = 1e-5,
+                     residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``residual + module_linear(rms_norm(x), mod)`` with the norm and the
+    add folded into the quant kernel when the weight is planes-W4 (decode is
+    kernel-launch-bound; each fold removes an XLA elementwise launch —
+    BENCHMARKS.md round 2). Falls back to the unfused ops elsewhere; both
+    paths are bit-identical by construction (same op order and dtypes).
+    """
+    from accessory_tpu.ops.norms import rms_norm
+    from accessory_tpu.quant.qtensor import QuantizedWeight, quant_matmul
+
+    w = mod.get("weight")
+    fusible = (
+        isinstance(w, QuantizedWeight) and w.layout == "planes"
+        and "lora_a" not in mod and mod.get("bias") is None
+        and x.shape[-1] == w.in_dim
+        and (norm is None or w.in_dim == w.tile_k))
+    if fusible:
+        return quant_matmul(
+            x, w, norm_weight=None if norm is None else norm["weight"],
+            norm_eps=eps, residual=residual)
+    xn = x if norm is None else rms_norm(x, norm["weight"], eps)
+    y = module_linear(xn, mod)
+    return y if residual is None else residual + y
+
+
 def module_linear(x: jnp.ndarray, mod: dict) -> jnp.ndarray:
     """Apply a linear "module" dict: {"weight", ["bias"], ["lora_a","lora_b"]}.
 

@@ -69,8 +69,15 @@ def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
     return jnp.asarray(words.reshape(k // 8, n))
 
 
-def _kernel(x_ref, packed_ref, scales_ref, zs_ref, out_ref, acc_ref, *,
-            group_size: int, tk: int, precise: bool):
+def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
+            group_size: int, tk: int, precise: bool,
+            norm_eps: float = 0.0, has_norm: bool = False,
+            has_res: bool = False):
+    rest = list(rest)
+    norm_ref = rest.pop(0) if has_norm else None
+    res_ref = rest.pop(0) if has_res else None
+    out_ref, acc_ref = rest
+
     k_idx = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -89,6 +96,14 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, out_ref, acc_ref, *,
     s_all = pltpu.roll(scales_ref[:], -g0, 0)[:G]    # (G, TN) f32
     zs_all = pltpu.roll(zs_ref[:], -g0, 0)[:G]       # zeros*scales, f32
     x = x_ref[:]                               # (TM, tk)
+    if has_norm:
+        # fused RMSNorm prologue (requires K == tk: the whole row is here).
+        # Same op order as ops.norms.rms_norm so outputs match the unfused
+        # path bit-for-bit: f32 mean-square, rsqrt, scale, cast back.
+        xf = x.astype(jnp.float32)
+        r = jnp.reciprocal(jnp.sqrt(
+            jnp.mean(xf * xf, axis=1, keepdims=True) + norm_eps))
+        x = ((xf * r) * norm_ref[:]).astype(x.dtype)
 
     mask = jnp.uint32(_NIBBLE_MASK)
     lo8 = pltpu.bitcast(w32 & mask, jnp.int8)               # (tk/2, TN)
@@ -126,46 +141,76 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, out_ref, acc_ref, *,
 
     @pl.when(k_idx == nk - 1)
     def _emit():
-        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+        out = acc_ref[:].astype(out_ref.dtype)
+        if has_res:
+            # fused residual-add epilogue; cast-then-add matches the
+            # unfused ``h + module_linear(...)`` bit-for-bit
+            out = res_ref[:] + out
+        out_ref[:] = out
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "tk", "precise",
-                                             "interpret"))
-def planes_qmm(x2d, packed_planes, scales, zs, *, group_size: int, tk: int,
-               precise: bool = True, interpret: bool = False):
+                                             "norm_eps", "interpret"))
+def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
+               residual=None, *, group_size: int, tk: int,
+               precise: bool = True, norm_eps: float = 1e-5,
+               interpret: bool = False):
     """x2d (M, K) @ plane-packed W4 -> (M, N).
 
     ``zs`` must be zeros*scales (folded at repack, see to_planes_layout).
     ``precise=True`` (default, also the measured-fastest variant) does the
-    scale multiply in f32; False does it in bf16."""
+    scale multiply in f32; False does it in bf16.
+
+    Optional fusions (each removes an XLA elementwise kernel per call —
+    decode is launch-bound, see BENCHMARKS.md round 2):
+      norm_weight (K,): RMSNorm prologue ``rms_norm(x) @ W`` — requires
+        K == tk so each program holds the whole reduction row.
+      residual (M, N): epilogue ``residual + (x @ W)``.
+    """
     m, k = x2d.shape
     n = packed_planes.shape[1]
     assert k % tk == 0 and (tk // 2) % group_size == 0, (k, tk, group_size)
+    assert norm_weight is None or k == tk, "norm fusion needs K == tk"
     tm = 128 if m >= 128 else max(8, 1 << (m - 1).bit_length())
     tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     pad_m = (-m) % tm
     if pad_m:
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
     pad_g = (-scales.shape[0]) % 8
     if pad_g:
         scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
         zs = jnp.pad(zs, ((0, pad_g), (0, 0)))
 
     grid = (x2d.shape[0] // tm, n // tn, k // tk)
+    in_specs = [
+        pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tk // 8, tn), lambda i, j, kk: (kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((scales.shape[0], tn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((zs.shape[0], tn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d, packed_planes, scales.astype(jnp.float32),
+                zs.astype(jnp.float32)]
+    if norm_weight is not None:
+        in_specs.append(pl.BlockSpec((1, tk), lambda i, j, kk: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(norm_weight.astype(jnp.float32).reshape(1, k))
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(residual.astype(x2d.dtype))
     out = pl.pallas_call(
         functools.partial(_kernel, group_size=group_size, tk=tk,
-                          precise=precise),
+                          precise=precise, norm_eps=norm_eps,
+                          has_norm=norm_weight is not None,
+                          has_res=residual is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tk // 8, tn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((scales.shape[0], tn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((zs.shape[0], tn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((x2d.shape[0], n), x2d.dtype),
@@ -177,7 +222,7 @@ def planes_qmm(x2d, packed_planes, scales, zs, *, group_size: int, tk: int,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2d, packed_planes, scales.astype(jnp.float32), zs.astype(jnp.float32))
+    )(*operands)
     return out[:m] if pad_m else out
 
 

@@ -225,12 +225,19 @@ def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
     return w.reshape(qw.in_dim, qw.out_dim).astype(dtype)
 
 
-def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool] = None) -> jnp.ndarray:
+def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool] = None,
+                 norm_weight: Optional[jnp.ndarray] = None,
+                 norm_eps: float = 1e-5,
+                 residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x @ dequant(qw). Dispatches to the fused Pallas kernel on TPU.
 
     The XLA path dequantizes per-call; XLA fuses unpack+scale into the matmul
     prologue reasonably well, but the Pallas kernel keeps packed words in VMEM
     and hits HBM at the 4-bit footprint (the point of W4A16 decode).
+
+    ``norm_weight`` / ``residual`` fuse an RMSNorm prologue / residual-add
+    epilogue into the planes kernel (callers must check eligibility via
+    ops.linear.module_linear_nr — only the planes layout supports them).
     """
     # activations zero-pad to a padded reduction dim (see quantize_weight)
     if x.shape[-1] < qw.in_dim:
@@ -242,10 +249,16 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
 
         lead = x.shape[:-1]
         x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
+        res2d = (None if residual is None
+                 else residual.reshape(-1, qw.out_dim))
         out = planes_qmm(x2d, qw.packed, qw.scales, qw.zeros,
+                         norm_weight, res2d,
                          group_size=qw.group_size, tk=qw.tile_k,
+                         norm_eps=norm_eps,
                          interpret=jax.default_backend() != "tpu")
         return out.reshape(*lead, qw.out_dim)
+    assert norm_weight is None and residual is None, \
+        "norm/residual fusion is planes-layout only"
 
     if qw.layout == "magic":
         from accessory_tpu.ops.quant_matmul_magic import magic_qmm

@@ -113,7 +113,11 @@ def main() -> None:
     if os.environ.get("BENCH_FUSE", "1") == "1":
         from accessory_tpu.quant.fuse import fuse_for_decode
         params = fuse_for_decode(params)
-    cache = llama.init_kv_cache(args, BATCH, max_len=CACHE_LEN)
+    unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
+    if unstack:
+        params = llama.unstack_layers(params)
+    cache = llama.init_kv_cache(args, BATCH, max_len=CACHE_LEN,
+                                stacked=not unstack)
 
     weight_bytes = leaf_bytes(params)
     kv_bytes_per_tok = (args.n_layers * CACHE_LEN * args.kv_heads

@@ -65,8 +65,7 @@ def main():
                     ck = jax.lax.dynamic_update_slice(ck, u, (0, 0, 0, 0, pos))
                     cv = jax.lax.dynamic_update_slice(cv, u, (0, 0, 0, 0, pos))
                 elif kind == "col":
-                    ck = da._write_col_inplace(ck, u, pos)
-                    cv = da._write_col_inplace(cv, u, pos)
+                    ck, cv = da._write_col_inplace(ck, cv, u, u, pos)
                 return (ck, cv)
             ck, cv = jax.lax.fori_loop(0, n, body, (cache_k, cache_v))
             # tiny output: fetching a 92 MB carry through the relay would
@@ -128,8 +127,7 @@ def main():
                     ck = jax.lax.dynamic_update_slice(ck, u, (0, 0, 0, 0, pos))
                     cv = jax.lax.dynamic_update_slice(cv, u, (0, 0, 0, 0, pos))
                 elif wkind == "col":
-                    ck = da._write_col_inplace(ck, u, pos)
-                    cv = da._write_col_inplace(cv, u, pos)
+                    ck, cv = da._write_col_inplace(ck, cv, u, u, pos)
                 return (h, ck, cv), None
             h0 = (q * x).astype(q.dtype)
             (h, ck, cv), _ = jax.lax.scan(

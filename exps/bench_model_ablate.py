@@ -51,27 +51,43 @@ def main():
 
     real = {k: getattr(llama, k) for k in
             ("linear", "cached_attention_t", "write_kv_t", "module_linear",
-             "rms_norm", "apply_rope")}
+             "module_linear_nr", "rms_norm", "apply_rope")}
+
+    def _zeros_like_out(x, mod):
+        w = mod["weight"]
+        n = w.out_dim if hasattr(w, "out_dim") else w.shape[-1]
+        return jnp.zeros(x.shape[:-1] + (n,), x.dtype)
 
     def patched(name):
         for k, v in real.items():
             setattr(llama, k, v)
         if name == "nohead":
-            llama.linear = lambda x, w: jnp.zeros(
-                x.shape[:-1] + (w.shape[-1],), x.dtype)
+            # the head is the only module_linear_nr on a (..., vocab) output
+            def nr(x, mod, *, norm=None, eps=1e-5, residual=None):
+                w = mod["weight"]
+                n = w.out_dim if hasattr(w, "out_dim") else w.shape[-1]
+                if n == args.vocab_size:
+                    return jnp.zeros(x.shape[:-1] + (n,), x.dtype)
+                return real["module_linear_nr"](x, mod, norm=norm, eps=eps,
+                                                residual=residual)
+            llama.module_linear_nr = nr
         elif name == "noattn":
             llama.cached_attention_t = (
                 lambda q, k, v, ck, cv, pos, **kw: q)
         elif name == "nowrite":
             llama.write_kv_t = lambda ck, cv, nk, nv, pos, **kw: (ck, cv)
         elif name == "nomatmul":
-            def zl(x, mod):
-                w = mod["weight"]
-                n = w.out_dim if hasattr(w, "out_dim") else w.shape[-1]
-                return jnp.zeros(x.shape[:-1] + (n,), x.dtype)
-            llama.module_linear = zl
+            def nr(x, mod, *, norm=None, eps=1e-5, residual=None):
+                y = _zeros_like_out(x, mod)
+                return y if residual is None else residual + y
+            llama.module_linear = _zeros_like_out
+            llama.module_linear_nr = nr
         elif name == "nonorm":
+            # in-kernel norms: strip the norm argument instead
             llama.rms_norm = lambda x, w, eps: x
+            llama.module_linear_nr = (
+                lambda x, mod, *, norm=None, eps=1e-5, residual=None:
+                real["module_linear_nr"](x, mod, residual=residual))
         elif name == "norope":
             llama.apply_rope = lambda x, cos, sin, style: x
 

@@ -69,22 +69,30 @@ def test_pick_b_blk():
 def test_write_col_inplace_matches_dus(pos):
     rng = np.random.RandomState(2)
     L, B, NKV, HD, S = 3, 2, 2, 8, 256
-    cache = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
-    upd = jnp.asarray(rng.standard_normal((L, B, NKV, HD, 1)), jnp.float32)
-    want = jax.lax.dynamic_update_slice(cache, upd, (0, 0, 0, 0, pos))
-    got = da._write_col_inplace(cache, upd, pos, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    ck = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((L, B, NKV, HD, 1)), jnp.float32)
+    uv = jnp.asarray(rng.standard_normal((L, B, NKV, HD, 1)), jnp.float32)
+    wk = jax.lax.dynamic_update_slice(ck, uk, (0, 0, 0, 0, pos))
+    wv = jax.lax.dynamic_update_slice(cv, uv, (0, 0, 0, 0, pos))
+    gk, gv = da._write_col_inplace(ck, cv, uk, uv, pos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
 
 
 def test_write_slab_inplace_matches_dus():
     rng = np.random.RandomState(3)
     L, B, NKV, HD, S = 2, 2, 2, 8, 512
     sq, pos = 128, 128
-    cache = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
-    upd = jnp.asarray(rng.standard_normal((L, B, NKV, HD, sq)), jnp.float32)
-    want = jax.lax.dynamic_update_slice(cache, upd, (0, 0, 0, 0, pos))
-    got = da._write_inplace(cache, upd, pos, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    ck = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((L, B, NKV, HD, S)), jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((L, B, NKV, HD, sq)), jnp.float32)
+    uv = jnp.asarray(rng.standard_normal((L, B, NKV, HD, sq)), jnp.float32)
+    wk = jax.lax.dynamic_update_slice(ck, uk, (0, 0, 0, 0, pos))
+    wv = jax.lax.dynamic_update_slice(cv, uv, (0, 0, 0, 0, pos))
+    gk, gv = da._write_inplace(ck, cv, uk, uv, pos, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(wk))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
 
 
 def test_write_kv_t_dispatch_parity():

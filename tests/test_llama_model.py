@@ -132,3 +132,43 @@ def test_long_decode_consistency():
         np.testing.assert_allclose(np.asarray(o[0]),
                                    np.asarray(full[0, 7 + i]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_unstacked_decode_parity():
+    """Unrolled decode loop (unstack_layers + per-layer cache) matches the
+    stacked lax.scan path exactly, for dense and planes-W4 fused params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+    from accessory_tpu.quant import quantize_params
+    from accessory_tpu.quant.fuse import fuse_for_decode
+
+    args = LLaMAArgs(dim=64, n_layers=3, n_heads=4, n_kv_heads=2,
+                     vocab_size=128, multiple_of=16, max_seq_len=64,
+                     dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(0, 128, (2, 5)), jnp.int32)
+
+    for tree in (params,
+                 fuse_for_decode(quantize_params(params, bits=4,
+                                                 group_size=16))):
+        cs = llama.init_kv_cache(args, 2)
+        cu = llama.init_kv_cache(args, 2, stacked=False)
+        un = llama.unstack_layers(tree)
+        assert isinstance(un["layers"], tuple) and len(un["layers"]) == 3
+
+        tol = dict(atol=2e-5, rtol=2e-5)  # scan vs unrolled: same math, different XLA fusion order
+        ls, cs = llama.forward(tree, args, toks, cache=cs, cur_pos=0)
+        lu, cu = llama.forward(un, args, toks, cache=cu, cur_pos=0)
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lu), **tol)
+        # decode one token and compare logits + cache content
+        ls2, cs = llama.forward(tree, args, toks[:, :1], cache=cs, cur_pos=5)
+        lu2, cu = llama.forward(un, args, toks[:, :1], cache=cu, cur_pos=5)
+        np.testing.assert_allclose(np.asarray(ls2), np.asarray(lu2), **tol)
+        np.testing.assert_allclose(
+            np.asarray(cs["k"]),
+            np.stack([np.asarray(c) for c in cu["k"]]), **tol)

@@ -98,3 +98,70 @@ def test_choose_tile_k():
     assert choose_tile_k(11264, 128) == 1024
     assert choose_tile_k(512, 128) == 512
     assert choose_tile_k(64, 16) == 64
+
+
+def test_planes_norm_residual_fusion_bit_identical():
+    """Fused RMSNorm prologue / residual epilogue == the unfused op chain
+    (float-exact up to f32 reduction association in the norm; the residual
+    epilogue is bit-identical)."""
+    from accessory_tpu.ops.norms import rms_norm
+
+    k, n, gs = 512, 256, 128
+    qw = _mk(k, n, gs)
+    qp = to_planes_layout(qw)
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, k), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(4), (k,), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(5), (8, n), jnp.float32)
+
+    base = lambda xx: planes_qmm(xx, qp.packed, qp.scales, qp.zeros,
+                                 group_size=gs, tk=qp.tile_k, interpret=True)
+    # norm prologue (requires K == tk)
+    assert qp.tile_k == k
+    fused = planes_qmm(x, qp.packed, qp.scales, qp.zeros, g,
+                       group_size=gs, tk=qp.tile_k, norm_eps=1e-5,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(fused),
+                               np.asarray(base(rms_norm(x, g, 1e-5))),
+                               atol=1e-5, rtol=1e-5)
+    # residual epilogue
+    fused_r = planes_qmm(x, qp.packed, qp.scales, qp.zeros, None, res,
+                         group_size=gs, tk=qp.tile_k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused_r),
+                                  np.asarray(res + base(x)))
+    # both at once
+    both = planes_qmm(x, qp.packed, qp.scales, qp.zeros, g, res,
+                      group_size=gs, tk=qp.tile_k, norm_eps=1e-5,
+                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(both), np.asarray(res + base(rms_norm(x, g, 1e-5))),
+        atol=1e-5, rtol=1e-5)
+
+
+def test_planes_residual_multi_ktile():
+    """Residual epilogue lands once (at the last k-tile) with tk < K."""
+    k, n, gs = 1024, 256, 128
+    qw = _mk(k, n, gs)
+    qp = to_planes_layout(qw, max_tk=512)
+    assert qp.tile_k == 512 and k // qp.tile_k == 2
+    x = jax.random.normal(jax.random.PRNGKey(6), (8, k), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(7), (8, n), jnp.float32)
+    plain = planes_qmm(x, qp.packed, qp.scales, qp.zeros,
+                       group_size=gs, tk=qp.tile_k, interpret=True)
+    fused = planes_qmm(x, qp.packed, qp.scales, qp.zeros, None, res,
+                       group_size=gs, tk=qp.tile_k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(res + plain))
+
+
+def test_module_linear_nr_fallbacks():
+    """module_linear_nr on dense / lora modules == unfused chain."""
+    from accessory_tpu.ops.linear import module_linear, module_linear_nr
+    from accessory_tpu.ops.norms import rms_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 32), jnp.float32)
+    g = jnp.ones((64,))
+    res = jnp.ones((4, 32))
+    mod = {"weight": w}
+    want = res + module_linear(rms_norm(x, g, 1e-5), mod)
+    got = module_linear_nr(x, mod, norm={"weight": g}, residual=res)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
