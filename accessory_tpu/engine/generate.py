@@ -45,13 +45,32 @@ class Generator:
     """Wraps a functional model (module with ``forward``/``init_kv_cache``)
     + tokenizer into the reference's generation API surface."""
 
-    def __init__(self, module, args, params, tokenizer, encode_image=None):
+    def __init__(self, module, args, params, tokenizer, encode_image=None,
+                 unroll_decode: Optional[bool] = None):
         self.module = module
         self.args = args
-        self.params = params
         self.tokenizer = tokenizer
         self.encode_image = encode_image  # optional multimodal hook
         self._loop_cache = {}
+        # Trace-time-unrolled decode loop over unstacked per-layer buffers:
+        # inside lax.scan a sliced stacked weight/cache operand cannot fuse
+        # into a Pallas custom call, so XLA copies it every layer (~2x all
+        # touched bytes — BENCHMARKS.md round 2; 2817 -> 4410 tok/s).
+        # Costs compile time O(depth), so it is TPU-only by default and
+        # gated off with ACCESSORY_TPU_UNROLL=0.
+        if unroll_decode is None:
+            import os
+
+            unroll_decode = (
+                jax.default_backend() == "tpu"
+                and os.environ.get("ACCESSORY_TPU_UNROLL", "1") == "1"
+                and getattr(module, "SUPPORTS_UNROLLED_DECODE", False))
+        self.unroll_decode = bool(unroll_decode)
+        if self.unroll_decode:
+            from accessory_tpu.models.llama import unstack_layers
+
+            params = unstack_layers(params)
+        self.params = params
 
     # ------------------------------------------------------------------
     # compiled loop (one per (bsz, prefill_len, total_len, sampling, stops))
@@ -70,7 +89,9 @@ class Generator:
             """tokens/mask: (bsz, total_len buffer); start_pos: scalar min
             prompt len; end: scalar logical stop position (prompt+max_gen).
             Returns (tokens, stopped, stop_pos)."""
-            cache = module.init_kv_cache(args, bsz, max_len=total_len + n_image_words)
+            cache = module.init_kv_cache(
+                args, bsz, max_len=total_len + n_image_words,
+                stacked=not self.unroll_decode)
 
             prefix = tokens[:, :prefill_len]
             if embeds is not None:
@@ -247,7 +268,9 @@ class Generator:
         tokens = np.zeros((1, buf_len), np.int32)
         tokens[0, :start] = tokens_l
 
-        cache = self.module.init_kv_cache(self.args, 1, max_len=buf_len + n_image_words)
+        cache = self.module.init_kv_cache(
+            self.args, 1, max_len=buf_len + n_image_words,
+            stacked=not self.unroll_decode)
 
         @functools.lru_cache(maxsize=None)
         def step_fn(seq_len):

@@ -20,12 +20,16 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import FalconArgs
 from accessory_tpu.ops.attention import attention
-from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
+from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                write_kv_layer, write_kv_t)
 from accessory_tpu.ops.linear import linear
 from accessory_tpu.ops.norms import layer_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
 Params = Dict[str, Any]
+
+# Generator may unstack layers for the trace-time-unrolled decode loop
+SUPPORTS_UNROLLED_DECODE = True
 
 
 def init_params(key: jax.Array, args: FalconArgs) -> Params:
@@ -122,11 +126,17 @@ def param_axes(args: FalconArgs) -> Params:
 
 
 def init_kv_cache(args: FalconArgs, batch: int, max_len: Optional[int] = None,
-                  dtype=None) -> Dict[str, jnp.ndarray]:
+                  dtype=None, stacked: bool = True) -> Dict[str, jnp.ndarray]:
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
     # lane-major (L, B, NKV, HD, S) — see ops/decode_attention.py
     shape = (args.num_layers, batch, args.kv_heads, args.head_dim, max_len)
+    if not stacked:
+        # per-layer buffers for the unrolled decode loop (see models.llama)
+        return {"k": tuple(jnp.zeros(shape[1:], dtype)
+                           for _ in range(args.num_layers)),
+                "v": tuple(jnp.zeros(shape[1:], dtype)
+                           for _ in range(args.num_layers))}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -196,7 +206,12 @@ def forward(
     h = embeds if embeds is not None else (
         jnp.take(params["word_embeddings"]["weight"], tokens, axis=0))
 
-    max_rope = (cache["k"].shape[4] if cache is not None else sq)
+    if cache is not None:
+        ck0 = cache["k"]
+        max_rope = (ck0[0].shape[3] if isinstance(ck0, (list, tuple))
+                    else ck0.shape[4])
+    else:
+        max_rope = sq
     cos_full, sin_full = precompute_rope(
         args.head_dim, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
@@ -213,7 +228,17 @@ def forward(
             _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             static_argnums=(2,))
 
-    if cache is not None:
+    if cache is not None and isinstance(params["layers"], (list, tuple)):
+        # unrolled decode loop over unstacked layers (models.llama.forward)
+        new_k, new_v = [], []
+        for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
+            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
+                                    kv_len, ck, cv)
+            wk_, wv_ = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+            new_k.append(wk_)
+            new_v.append(wv_)
+        new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
+    elif cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
             h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
@@ -225,6 +250,11 @@ def forward(
         wk_, wv_ = write_kv_t(cache["k"], cache["v"], new_k, new_v,
                               cur_pos)
         new_cache = {"k": wk_, "v": wv_}
+    elif isinstance(params["layers"], (list, tuple)):
+        # cache-free scoring on unstacked params (compute_logits path)
+        for layer in params["layers"]:
+            h, _, _ = block(h, layer, args, cos, sin, 0, None)
+        new_cache = None
     else:
         def body(h, layer):
             h, _, _ = block(h, layer, args, cos, sin, 0, None)

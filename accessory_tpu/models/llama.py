@@ -39,6 +39,9 @@ from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
 Params = Dict[str, Any]
 
+# Generator may unstack layers for the trace-time-unrolled decode loop
+SUPPORTS_UNROLLED_DECODE = True
+
 
 # ---------------------------------------------------------------------------
 # init
@@ -360,6 +363,11 @@ def forward(
         # single bulk write of all layers' new kv
         wk, wv = write_kv_t(cache["k"], cache["v"], new_k, new_v, cur_pos)
         new_cache = {"k": wk, "v": wv}
+    elif isinstance(params["layers"], (list, tuple)):
+        # cache-free scoring on unstacked params (compute_logits path)
+        for layer in params["layers"]:
+            h, _, _ = block(h, layer, args, cos, sin, 0, None)
+        new_cache = None
     else:
         def body(h, layer):
             h, _, _ = block(h, layer, args, cos, sin, 0, None)

@@ -107,6 +107,10 @@ def encode_image(params: Params, args: SphinxArgs, images: jnp.ndarray) -> jnp.n
 
 
 init_kv_cache = llama.init_kv_cache
+# decoder delegates to the base model forward, which supports the
+# trace-time-unrolled decode loop on unstacked layers
+SUPPORTS_UNROLLED_DECODE = True
+
 cache_axes = llama.cache_axes
 
 

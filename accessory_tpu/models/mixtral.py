@@ -22,13 +22,17 @@ import jax.numpy as jnp
 
 from accessory_tpu.config import MixtralArgs
 from accessory_tpu.ops.attention import attention
-from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
+from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                write_kv_layer, write_kv_t)
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
 from accessory_tpu.ops.norms import rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
 Params = Dict[str, Any]
+
+# Generator may unstack layers for the trace-time-unrolled decode loop
+SUPPORTS_UNROLLED_DECODE = True
 
 
 def init_params(key: jax.Array, args: MixtralArgs) -> Params:
@@ -149,11 +153,17 @@ def param_axes(args: MixtralArgs) -> Params:
 
 
 def init_kv_cache(args: MixtralArgs, batch: int, max_len: Optional[int] = None,
-                  dtype=None) -> Dict[str, jnp.ndarray]:
+                  dtype=None, stacked: bool = True) -> Dict[str, jnp.ndarray]:
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
     # lane-major (L, B, NKV, HD, S) — see ops/decode_attention.py
     shape = (args.n_layers, batch, args.kv_heads, args.head_dim, max_len)
+    if not stacked:
+        # per-layer buffers for the unrolled decode loop (see models.llama)
+        return {"k": tuple(jnp.zeros(shape[1:], dtype)
+                           for _ in range(args.n_layers)),
+                "v": tuple(jnp.zeros(shape[1:], dtype)
+                           for _ in range(args.n_layers))}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -219,7 +229,12 @@ def forward(
         jnp.take(params["tok_embeddings"]["weight"], tokens, axis=0))
     sq = h.shape[1]  # embeds may be longer than tokens (multimodal splice)
 
-    max_rope = (cache["k"].shape[4] if cache is not None else sq)
+    if cache is not None:
+        ck0 = cache["k"]
+        max_rope = (ck0[0].shape[3] if isinstance(ck0, (list, tuple))
+                    else ck0.shape[4])
+    else:
+        max_rope = sq
     cos_full, sin_full = precompute_rope(
         args.head_dim, max_rope, args.rope_theta, args.rope_scaling)
     if cache is not None:
@@ -238,7 +253,19 @@ def forward(
 
     balance = with_aux_loss and cache is None
 
-    if cache is not None:
+    if cache is not None and isinstance(params["layers"], (list, tuple)):
+        # unrolled decode loop over unstacked layers — scan-sliced Pallas
+        # operands materialize a copy per layer (see models.llama.forward)
+        new_k, new_v = [], []
+        for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
+            h, k_new, v_new, _ = block(h, layer, args, cos, sin, cur_pos,
+                                       kv_len, ck, cv, moe_impl, False)
+            wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+            new_k.append(wk)
+            new_v.append(wv)
+        new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
+        aux_total = None
+    elif cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
             h, k_new, v_new, _ = block(h, layer, args, cos, sin, cur_pos,
@@ -250,6 +277,15 @@ def forward(
         wk, wv = write_kv_t(cache["k"], cache["v"], new_k, new_v, cur_pos)
         new_cache = {"k": wk, "v": wv}
         aux_total = None
+    elif isinstance(params["layers"], (list, tuple)):
+        # cache-free scoring on unstacked params (compute_logits path)
+        aux_total = jnp.zeros((), jnp.float32)
+        for layer in params["layers"]:
+            h, _, _, aux = block(h, layer, args, cos, sin, 0, None,
+                                 None, None, moe_impl, balance)
+            if aux is not None:
+                aux_total = aux_total + aux
+        new_cache = None
     else:
         def body(carry, layer):
             h, aux_acc = carry

@@ -22,6 +22,10 @@ n_crops = sphinx.n_crops
 image_words = sphinx.image_words
 
 init_kv_cache = mixtral.init_kv_cache
+# decoder delegates to the base model forward, which supports the
+# trace-time-unrolled decode loop on unstacked layers
+SUPPORTS_UNROLLED_DECODE = True
+
 cache_axes = mixtral.cache_axes
 init_paged_cache = mixtral.init_paged_cache
 forward_paged = mixtral.forward_paged

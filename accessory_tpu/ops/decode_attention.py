@@ -254,11 +254,13 @@ def cached_attention_t(
 
 def _col_write_kernel(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
                       outk_ref, outv_ref):
-    """Grid (L,). Blocks: upd (1,B,NKV,HD,1); cache/out (1,B,NKV,HD,128) —
-    the single 128-lane tile containing ``pos``, selected by the scalar-
-    prefetched position in the index_map. Outputs alias the caches, so the
-    rest of each pool is untouched: per step only 2*L*B*NKV*HD*128 elements
-    move (~46 MB r+w at TinyLlama scale) instead of the whole pools.
+    """Grid (L, NKV/nb). Blocks: upd (1,B,nb,HD,1); cache/out
+    (1,B,nb,HD,128) — the single 128-lane tile containing ``pos``, selected
+    by the scalar-prefetched position in the index_map. Outputs alias the
+    caches, so the rest of each pool is untouched: per step only
+    2*L*B*NKV*HD*128 elements move (~46 MB r+w at TinyLlama scale) instead
+    of the whole pools. The NKV tiling keeps blocks under the 16 MB scoped
+    VMEM limit for MHA models (7B: B8*NKV32*HD128 tiles are 16 MB each).
 
     Both pools are written by ONE call on purpose: with separate aliased
     calls, XLA memory-space assignment round-trips the second pool through
@@ -272,21 +274,31 @@ def _col_write_kernel(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
         out_ref[...] = jnp.where(mask, upd_ref[...], blk)
 
 
+def _pick_nkv_blk(b, nkv, hd, itemsize, budget=1024 * 1024) -> int:
+    # the 16 MB scoped-vmem limit must hold in+out blocks for BOTH pools
+    # plus grid double-buffering (~6x one pool block, observed on 7B)
+    nb = nkv
+    while nb > 1 and 2 * b * nb * hd * 128 * itemsize > budget:
+        nb //= 2
+    return nb if nkv % nb == 0 else 1
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _write_col_inplace(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
     L, B, NKV, HD, S = cache_k.shape
-    tile = lambda l, scal: (l, 0, 0, 0, scal[0] // 128)
-    upd_spec = pl.BlockSpec((1, B, NKV, HD, 1),
-                            lambda l, scal: (l, 0, 0, 0, 0),
+    nb = _pick_nkv_blk(B, NKV, HD, cache_k.dtype.itemsize)
+    tile = lambda l, n, scal: (l, 0, n, 0, scal[0] // 128)
+    upd_spec = pl.BlockSpec((1, B, nb, HD, 1),
+                            lambda l, n, scal: (l, 0, n, 0, 0),
                             memory_space=pltpu.VMEM)
-    pool_spec = pl.BlockSpec((1, B, NKV, HD, 128), tile,
+    pool_spec = pl.BlockSpec((1, B, nb, HD, 128), tile,
                              memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
     return pl.pallas_call(
         _col_write_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(L,),
+            grid=(L, NKV // nb),
             in_specs=[upd_spec, upd_spec, pool_spec, pool_spec],
             out_specs=[pool_spec, pool_spec],
         ),
@@ -341,8 +353,8 @@ def _write_inplace(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
 
 def _col_write_kernel4(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
                        outk_ref, outv_ref):
-    """Per-layer (4D) variant of _col_write_kernel: one program, blocks are
-    the (B, NKV, HD, 128) lane tile containing ``pos``."""
+    """Per-layer (4D) variant of _col_write_kernel: grid (NKV/nb,), blocks
+    are the (B, nb, HD, 128) lane tile containing ``pos``."""
     col = jax.lax.rem(pos_ref[0], 128)
     for upd_ref, blk_ref, out_ref in ((updk_ref, ck_ref, outk_ref),
                                       (updv_ref, cv_ref, outv_ref)):
@@ -354,17 +366,18 @@ def _col_write_kernel4(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _write_col_layer(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
     B, NKV, HD, S = cache_k.shape
-    tile = lambda _, scal: (0, 0, 0, scal[0] // 128)
-    upd_spec = pl.BlockSpec((B, NKV, HD, 1), lambda _, scal: (0, 0, 0, 0),
+    nb = _pick_nkv_blk(B, NKV, HD, cache_k.dtype.itemsize)
+    tile = lambda n, scal: (0, n, 0, scal[0] // 128)
+    upd_spec = pl.BlockSpec((B, nb, HD, 1), lambda n, scal: (0, n, 0, 0),
                             memory_space=pltpu.VMEM)
-    pool_spec = pl.BlockSpec((B, NKV, HD, 128), tile,
+    pool_spec = pl.BlockSpec((B, nb, HD, 128), tile,
                              memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
     return pl.pallas_call(
         _col_write_kernel4,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
+            grid=(NKV // nb,),
             in_specs=[upd_spec, upd_spec, pool_spec, pool_spec],
             out_specs=[pool_spec, pool_spec],
         ),

@@ -112,7 +112,16 @@ def bench_llama_decode(name, args_kw, batch=8, cache_len=1024):
     params = synthetic_quantized_params(
         lambda: llama.init_params(jax.random.PRNGKey(0), args),
         jax.random.PRNGKey(0))
-    cache = llama.init_kv_cache(args, batch, max_len=cache_len)
+    # decode-optimized layout: fused wqkv/w13 + trace-time-unrolled layer
+    # loop over per-layer buffers (BENCHMARKS.md: the scan-slice copy).
+    # Sequential rebinds keep peak HBM at 2x weights, not 3x (each transform
+    # copies; the old tree frees when its last reference drops).
+    from accessory_tpu.quant.fuse import fuse_for_decode
+
+    params = fuse_for_decode(params)
+    params = llama.unstack_layers(params)
+    cache = llama.init_kv_cache(args, batch, max_len=cache_len,
+                                stacked=False)
     step = jax.jit(lambda p, t, c, pos: llama.forward(
         p, args, t, cache=c, cur_pos=pos), donate_argnums=(2,))
     dt = timed_steps(step, params, jnp.ones((batch, 1), jnp.int32), cache)
@@ -137,7 +146,12 @@ def bench_moe_decode(batch=8, cache_len=512):
     params = synthetic_quantized_params(
         lambda: mixtral.init_params(jax.random.PRNGKey(0), args),
         jax.random.PRNGKey(0))
-    cache = mixtral.init_kv_cache(args, batch, max_len=cache_len)
+    # unrolled decode loop (unstack_layers is model-agnostic tree surgery)
+    from accessory_tpu.models.llama import unstack_layers
+
+    params = unstack_layers(params)
+    cache = mixtral.init_kv_cache(args, batch, max_len=cache_len,
+                                  stacked=False)
     step = jax.jit(lambda p, t, c, pos: mixtral.forward(
         p, args, t, cache=c, cur_pos=pos, moe_impl="ragged"),
         donate_argnums=(2,))

@@ -119,3 +119,21 @@ def test_evaluate_examples(model):
 def test_top_p_sampling_runs(model):
     outs = model.generate(["hello"], max_gen_len=5, temperature=0.8, top_p=0.9)
     assert isinstance(outs[0], str)
+
+
+def test_generate_unrolled_decode_matches(model):
+    """Generator with unroll_decode=True (the TPU default layout) produces
+    the same greedy text as the stacked scan path."""
+    from accessory_tpu.engine.generate import Generator
+
+    g = Generator(model.module, model.args, model.params, model.tokenizer,
+                  unroll_decode=True)
+    assert isinstance(g.params["layers"], tuple)
+    prompts = ["the quick brown", "hello world"]
+    want = model.generate(prompts, max_gen_len=6, temperature=0.0)
+    got = g.generate(prompts, max_gen_len=6, temperature=0.0)
+    assert got == want
+    # streaming path too
+    chunks = list(g.stream_generate("hello world", max_gen_len=4,
+                                    temperature=0.0))
+    assert chunks and chunks[-1]["end_of_content"] in (True, False)
