@@ -247,20 +247,32 @@ class ContinuousBatcher:
         plens = np.array([len(r.prompt_tokens) for _, r in group], np.int32)
         bucket = min(_round_up(int(plens.max())),
                      self.pages_per_seq * self.page_size)
-        toks = np.zeros((g, bucket), np.int32)
+        # pad the group to the next power of two so prefill compiles are
+        # O(log slots) shapes, not one per group size (each remote compile
+        # is tens of seconds — it would dominate p50 TTFT). Dummy rows
+        # point every page at the reserved TRASH page and are discarded.
+        gp = 1 << (g - 1).bit_length()
+        toks = np.zeros((gp, bucket), np.int32)
         for i, (_, r) in enumerate(group):
             toks[i, :plens[i]] = r.prompt_tokens
         gslots = np.array([s for s, _ in group])
+        plens_p = np.concatenate([plens, np.ones((gp - g,), np.int32)])
+        rows = np.concatenate(
+            [self.page_table[gslots],
+             np.full((gp - g, self.pages_per_seq), PagePool.TRASH,
+                     self.page_table.dtype)])
 
         sub = dataclasses.replace(
             self.pcache,
-            page_indices=jnp.asarray(self.page_table[gslots]),
-            lengths=jnp.zeros((g,), jnp.int32))
+            page_indices=jnp.asarray(rows),
+            lengths=jnp.zeros((gp,), jnp.int32))
         self._key, k = jax.random.split(self._key)
-        temps = jnp.asarray([r.temperature for _, r in group], jnp.float32)
-        topps = jnp.asarray([r.top_p for _, r in group], jnp.float32)
-        nxt, sub = self._prefill_fn(g, bucket)(
-            self.params, jnp.asarray(toks), sub, jnp.asarray(plens), k,
+        temps = jnp.asarray([r.temperature for _, r in group]
+                            + [1.0] * (gp - g), jnp.float32)
+        topps = jnp.asarray([r.top_p for _, r in group]
+                            + [1.0] * (gp - g), jnp.float32)
+        nxt, sub = self._prefill_fn(gp, bucket)(
+            self.params, jnp.asarray(toks), sub, jnp.asarray(plens_p), k,
             temps, topps)
         nxt = np.asarray(nxt)
 

@@ -222,10 +222,28 @@ def unstack_layers(params: Params) -> Params:
         return params
     import jax as _jax
 
+    from accessory_tpu.quant.qtensor import QuantizedWeight
+
+    def split_experts(tree):
+        # expert-stacked QuantizedWeights (packed (E, K/8, N)) become
+        # tuples of per-expert weights: XLA materializes a static slice
+        # before every cond-gated expert call otherwise (ops/moe.py)
+        from accessory_tpu.ops.moe import _qw_index
+
+        def f(x):
+            if isinstance(x, QuantizedWeight) and x.packed.ndim == 3:
+                return tuple(_qw_index(x, e)
+                             for e in range(x.packed.shape[0]))
+            return x
+
+        return _jax.tree.map(
+            f, tree, is_leaf=lambda x: isinstance(x, QuantizedWeight))
+
     n = _jax.tree.leaves(layers)[0].shape[0]
     out = dict(params)
     out["layers"] = tuple(
-        _jax.tree.map(lambda x: x[i], layers) for i in range(n))
+        split_experts(_jax.tree.map(lambda x: x[i], layers))
+        for i in range(n))
     return out
 
 

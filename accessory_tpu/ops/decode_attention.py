@@ -317,7 +317,9 @@ def _write_kernel(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
     NO copy of the pools (lax.dynamic_update_slice was measured to copy the
     whole cache per step even with donation; separate per-pool aliased calls
     make memory-space assignment round-trip one pool — see _col_write_kernel)."""
-    pos = pos_ref[0]
+    # dispatch guarantees a statically-128-aligned pos (Mosaic must prove
+    # lane-dim DMA offsets divisible by the tiling)
+    pos = pl.multiple_of(pos_ref[0], 128)
     sq = updk_ref.shape[-1]
     dk = pltpu.make_async_copy(
         updk_ref, outk_ref.at[:, :, :, :, pl.ds(pos, sq)], semk)
@@ -390,7 +392,9 @@ def _write_col_layer(cache_k, cache_v, upd_k, upd_v, pos, interpret=False):
 
 def _write_kernel4(pos_ref, updk_ref, updv_ref, ck_ref, cv_ref,
                    outk_ref, outv_ref, semk, semv):
-    pos = pos_ref[0]
+    # dispatch guarantees a statically-128-aligned pos (Mosaic must prove
+    # lane-dim DMA offsets divisible by the tiling)
+    pos = pl.multiple_of(pos_ref[0], 128)
     sq = updk_ref.shape[-1]
     dk = pltpu.make_async_copy(
         updk_ref, outk_ref.at[:, :, :, pl.ds(pos, sq)], semk)
@@ -433,8 +437,12 @@ def write_kv_layer(cache_k, cache_v, new_k, new_v, pos,
     upd_k = new_k.transpose(0, 2, 3, 1).astype(cache_k.dtype)
     upd_v = new_v.transpose(0, 2, 3, 1).astype(cache_v.dtype)
     interp = jax.default_backend() != "tpu"
+    # the slab-DMA kernel needs a PROVABLY 128-aligned lane offset, so it
+    # requires a statically-known aligned pos (prefill-from-0 case)
+    pos_aligned = isinstance(pos, (int,)) and pos % 128 == 0
     if use_pallas is None:
-        use_pallas = not interp and (sq == 1 or sq % 128 == 0)
+        use_pallas = not interp and (sq == 1 or (sq % 128 == 0
+                                                 and pos_aligned))
         if os.environ.get("ACCESSORY_KV_WRITE") == "dus":
             use_pallas = False
     if use_pallas and sq == 1:
@@ -464,8 +472,11 @@ def write_kv_t(cache_k, cache_v, new_k, new_v, pos,
     upd_k = new_k.transpose(0, 1, 3, 4, 2).astype(cache_k.dtype)
     upd_v = new_v.transpose(0, 1, 3, 4, 2).astype(cache_v.dtype)
     interp = jax.default_backend() != "tpu"
+    # slab DMA needs a provably 128-aligned lane offset (see write_kv_layer)
+    pos_aligned = isinstance(pos, (int,)) and pos % 128 == 0
     if use_pallas is None:
-        use_pallas = not interp and (sq == 1 or sq % 128 == 0)
+        use_pallas = not interp and (sq == 1 or (sq % 128 == 0
+                                                 and pos_aligned))
         # ACCESSORY_KV_WRITE=dus forces the dynamic_update_slice fallback
         # (perf-ablation hook)
         if os.environ.get("ACCESSORY_KV_WRITE") == "dus":

@@ -181,9 +181,17 @@ def moe_ffn_quant(
 
     from accessory_tpu.quant.qtensor import quant_matmul
 
+    def pick(qw, ei):
+        # pre-unstacked experts (tuple of per-expert QuantizedWeight, see
+        # models.llama.unstack_layers) read their own HBM buffers; a static
+        # slice of the stacked form is materialized by XLA before the cond
+        # (custom-call operands never fuse slices), costing a copy even for
+        # untouched experts
+        return qw[ei] if isinstance(qw, (list, tuple)) else _qw_index(qw, ei)
+
     out = jnp.zeros((t, d), jnp.float32)
     for ei in range(e):  # static loop: E cond-gated kernel call triplets
-        q1, q3, q2 = _qw_index(qw1, ei), _qw_index(qw3, ei), _qw_index(qw2, ei)
+        q1, q3, q2 = pick(qw1, ei), pick(qw3, ei), pick(qw2, ei)
 
         def run(x):
             gate = jax.nn.silu(quant_matmul(x, q1).astype(jnp.float32))
@@ -204,6 +212,9 @@ def moe_ffn_quant(
 def moe_ffn(x, gate_w, w1, w3, w2, k=2, balance_weight=None, impl: str = "ragged"):
     """Dispatch entry. impl: "ragged" (exact grouped GEMM) | "dense"
     (ep-shardable). Quantized expert weights always take the quant path."""
+    if isinstance(w1, (list, tuple)) and hasattr(w1[0], "packed"):
+        return moe_ffn_quant(x, gate_w, w1, w3, w2, k=k,
+                             balance_weight=balance_weight)
     if hasattr(w1, "packed"):
         return moe_ffn_quant(x, gate_w, w1, w3, w2, k=k,
                              balance_weight=balance_weight)

@@ -69,3 +69,38 @@ def test_balance_loss_uniform_routing():
     loss = load_balancing_loss(scores, idx, E, K, weight=0.01)
     # perfectly uniform: loss = w * E/(T*K) * sum_e((T*K/E) * (1/E)) = w
     np.testing.assert_allclose(float(loss), 0.01, rtol=1e-5)
+
+
+def test_moe_quant_unstacked_experts_parity():
+    """Tuple-of-per-expert quant weights == stacked quant weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accessory_tpu.ops.moe import _qw_index, moe_ffn
+    from accessory_tpu.quant.qtensor import quantize_weight
+
+    rng = np.random.RandomState(0)
+    E, D, H, T = 4, 64, 96, 6
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    gate_w = jnp.asarray(rng.standard_normal((D, E)), jnp.float32)
+
+    def qstack(k_in, k_out):
+        ws = [quantize_weight(
+            jnp.asarray(rng.standard_normal((k_in, k_out)) * 0.05,
+                        jnp.float32), bits=4, group_size=32)
+            for _ in range(E)]
+        stacked = type(ws[0])(
+            packed=jnp.stack([w.packed for w in ws]),
+            scales=jnp.stack([w.scales for w in ws]),
+            zeros=jnp.stack([w.zeros for w in ws]),
+            bits=4, group_size=32, in_dim=k_in, out_dim=k_out,
+            act_dtype=ws[0].act_dtype, layout=ws[0].layout,
+            tile_k=ws[0].tile_k)
+        return stacked
+
+    q1, q3, q2 = qstack(D, H), qstack(D, H), qstack(H, D)
+    y_stacked, _ = moe_ffn(x, gate_w, q1, q3, q2, k=2)
+    split = lambda q: tuple(_qw_index(q, e) for e in range(E))
+    y_tuple, _ = moe_ffn(x, gate_w, split(q1), split(q3), split(q2), k=2)
+    np.testing.assert_array_equal(np.asarray(y_stacked), np.asarray(y_tuple))
