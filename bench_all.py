@@ -227,7 +227,7 @@ def bench_prefill_ttft(batch=1, prompt_len=2048):
 
 
 def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
-                    gen_len=64, page_size=64):
+                    gen_len=64, page_size=64, decode_steps=8):
     """Continuous-batching serving benchmark: Poisson arrivals into the
     scheduler; reports p50 TTFT and aggregate generated tok/s (the serving
     role of reference multi_gpu_wrapper.py:143-321).
@@ -266,7 +266,7 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
         lambda: llama.init_params(jax.random.PRNGKey(0), args),
         jax.random.PRNGKey(0))
     cb = ContinuousBatcher(llama, args, params, _Tok(), slots=slots,
-                           page_size=page_size)
+                           page_size=page_size, decode_steps=decode_steps)
 
     # warm the compile caches before timing: the scheduler pads admission
     # groups to powers of two, so warm each pow2 group size + decode (a

@@ -140,3 +140,16 @@ def test_multi_token_stop_sequence(model):
     # greedy regenerates the same ids; the stop seq fires as soon as both
     # tokens are emitted and is truncated from the output
     assert cb.finished[0].output_tokens == toks[:2]
+
+
+def test_multi_step_decode_matches_single_step(model):
+    """decode_steps=4 produces the same greedy outputs as decode_steps=1
+    (multi-step scheduling only changes dispatch granularity)."""
+    prompts = ["the quick brown fox", "hello world this", "lazy dog"]
+    outs = {}
+    for n in (1, 4):
+        cb = ContinuousBatcher(model.module, model.args, model.params,
+                               model.tokenizer, slots=4, page_size=16,
+                               decode_steps=n)
+        outs[n] = cb.run(prompts, max_gen_len=9, temperature=0.0)
+    assert outs[1] == outs[4]
