@@ -319,7 +319,7 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
-                             "sched"])
+                             "sched", "longctx"])
     a = ap.parse_args()
     if a.only == "sched":
         bench_scheduler()
@@ -338,3 +338,11 @@ if __name__ == "__main__":
         bench_sphinx_prefill()
     if not a.quick and a.only in (None, "ttft"):
         bench_prefill_ttft()
+    if a.only == "longctx":
+        # long-context decode: KV reads dominate (736 MB/step at 4k) —
+        # exercises the lane-major cache + batch-blocked attention at the
+        # regime the paged pool is built for
+        bench_llama_decode("TinyLlama-1.1B 4k-ctx",
+                           dict(dim=2048, n_layers=22, n_heads=32,
+                                n_kv_heads=4, vocab_size=32000,
+                                multiple_of=256), cache_len=4096)
