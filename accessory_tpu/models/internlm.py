@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from accessory_tpu.config import InternLMArgs
 from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                decode_attention_update,
                                                 write_kv_layer, write_kv_t)
 from accessory_tpu.ops.linear import linear
 from accessory_tpu.ops.norms import layer_norm, rms_norm
@@ -132,7 +133,7 @@ def cache_axes() -> Dict[str, Tuple]:
 
 
 def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
-           cache_k=None, cache_v=None):
+           cache_k=None, cache_v=None, update_cache=False):
     b, sq, _ = h.shape
     d = args.hidden_size
     nh = args.num_attention_heads
@@ -147,7 +148,12 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
     q = apply_rope(q, cos, sin, "half")
     k = apply_rope(k, cos, sin, "half")
 
-    if cache_k is not None:
+    wk = wv = None
+    if cache_k is not None and update_cache:
+        # fused attention + in-place cache update (ops.decode_attention)
+        out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
+                                              q_offset)
+    elif cache_k is not None:
         # read-only cache + two-part softmax (ops.attention.cached_attention)
         out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
@@ -163,6 +169,8 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
     else:
         inner = jax.nn.gelu(linear(x, mlp["w1"]["weight"]))
     h = h + linear(inner, mlp["w3"]["weight"])
+    if update_cache and wk is not None:
+        return h, wk, wv
     return h, k, v
 
 
@@ -204,11 +212,15 @@ def forward(
 
     if cache is not None and isinstance(params["layers"], (list, tuple)):
         # unrolled decode loop over unstacked layers (models.llama.forward)
+        fused = sq == 1  # fused attention+cache-update kernel at decode
         new_k, new_v = [], []
         for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
-            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
-                                    kv_len, ck, cv)
-            wk_, wv_ = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                     kv_len, ck, cv, fused)
+            if fused:
+                wk_, wv_ = k_new, v_new  # already-updated pools
+            else:
+                wk_, wv_ = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
             new_k.append(wk_)
             new_v.append(wv_)
         new_cache = {"k": tuple(new_k), "v": tuple(new_v)}

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from accessory_tpu.config import LLaMAArgs
 from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                decode_attention_update,
                                                 write_kv_layer, write_kv_t)
 from accessory_tpu.ops.linear import linear, module_linear, module_linear_nr
 from accessory_tpu.ops.norms import rms_norm
@@ -257,8 +258,13 @@ def cache_axes() -> Dict[str, Tuple]:
 # ---------------------------------------------------------------------------
 
 def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
-           cache_k=None, cache_v=None):
-    """One transformer block; returns (h, new_cache_k, new_cache_v)."""
+           cache_k=None, cache_v=None, update_cache=False):
+    """One transformer block.
+
+    Returns (h, k_new, v_new) — or, with ``update_cache=True`` (unrolled
+    decode loop, per-layer cache buffers), (h, new_cache_k, new_cache_v)
+    with the new token's k/v written in place by the fused
+    attention+cache-update kernel (ops.decode_attention)."""
     b, sq, _ = h.shape
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
@@ -281,7 +287,12 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     q = apply_rope(q, cos, sin, args.rope_style)
     k = apply_rope(k, cos, sin, args.rope_style)
 
-    if cache_k is not None:
+    wk = wv = None
+    if cache_k is not None and update_cache:
+        # fused attention + in-place cache update (one kernel call)
+        out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
+                                              q_offset)
+    elif cache_k is not None:
         # READ-ONLY cache + two-part softmax (pallas kernel at decode); the
         # caller writes k/v into the cache once outside the layer scan
         out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
@@ -302,6 +313,8 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
         gate = jax.nn.silu(module_linear(x, ff["w1"]))
         h = module_linear_nr(gate * module_linear(x, ff["w3"]), ff["w2"],
                              residual=h)
+    if update_cache and wk is not None:
+        return h, wk, wv
     return h, k, v
 
 
@@ -361,11 +374,17 @@ def forward(
         # all touched bytes twice (measured ~0.9 ms/step at TinyLlama
         # scale, BENCHMARKS.md round 2). With per-layer buffers the
         # kernels read HBM directly and each layer writes its own slot.
+        fused = sq == 1  # fused attention+cache-update kernel at decode
         new_k, new_v = [], []
         for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
-            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
-                                    kv_len, ck, cv)
-            wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+            # _block directly: remat never applies to the decode loop, and
+            # the static update_cache flag must not pass through checkpoint
+            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                     kv_len, ck, cv, fused)
+            if fused:
+                wk, wv = k_new, v_new  # already-updated pools
+            else:
+                wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
             new_k.append(wk)
             new_v.append(wv)
         new_cache = {"k": tuple(new_k), "v": tuple(new_v)}

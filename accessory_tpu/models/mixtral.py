@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from accessory_tpu.config import MixtralArgs
 from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                decode_attention_update,
                                                 write_kv_layer, write_kv_t)
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
@@ -173,7 +174,8 @@ def cache_axes() -> Dict[str, Tuple]:
 
 
 def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
-           cache_k=None, cache_v=None, moe_impl="ragged", balance=False):
+           cache_k=None, cache_v=None, moe_impl="ragged", balance=False,
+           update_cache=False):
     b, sq, _ = h.shape
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
@@ -185,7 +187,12 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
     q = apply_rope(q, cos, sin, args.rope_style)
     k = apply_rope(k, cos, sin, args.rope_style)
 
-    if cache_k is not None:
+    wk = wv = None
+    if cache_k is not None and update_cache:
+        # fused attention + in-place cache update (ops.decode_attention)
+        out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
+                                              q_offset)
+    elif cache_k is not None:
         # read-only cache + two-part softmax (see ops.attention.cached_attention)
         out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
@@ -203,6 +210,8 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
         impl=moe_impl,
     )
     h = h + y.reshape(b, sq, args.dim)
+    if update_cache and wk is not None:
+        return h, wk, wv, aux
     return h, k, v, aux
 
 
@@ -256,11 +265,16 @@ def forward(
     if cache is not None and isinstance(params["layers"], (list, tuple)):
         # unrolled decode loop over unstacked layers — scan-sliced Pallas
         # operands materialize a copy per layer (see models.llama.forward)
+        fused = sq == 1  # fused attention+cache-update kernel at decode
         new_k, new_v = [], []
         for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
-            h, k_new, v_new, _ = block(h, layer, args, cos, sin, cur_pos,
-                                       kv_len, ck, cv, moe_impl, False)
-            wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+            h, k_new, v_new, _ = _block(h, layer, args, cos, sin, cur_pos,
+                                        kv_len, ck, cv, moe_impl, False,
+                                        fused)
+            if fused:
+                wk, wv = k_new, v_new  # already-updated pools
+            else:
+                wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
             new_k.append(wk)
             new_v.append(wv)
         new_cache = {"k": tuple(new_k), "v": tuple(new_v)}

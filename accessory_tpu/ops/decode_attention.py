@@ -120,6 +120,142 @@ def _kernel_bloop(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref, out_ref):
         out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
 
 
+def _kernel_bloop_w(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+                    out_ref, outk_ref, outv_ref):
+    """_kernel_bloop + fused cache update: the program already holds the
+    full (HD, S) cache blocks and the new k/v vectors, so writing the new
+    token's column costs one masked store of the 128-lane tile containing
+    ``pos`` (outk/outv alias the cache pools; their index_map selects the
+    tile). Kills the separate write call per layer (measured 0.255 ms/step
+    at TinyLlama scale — BENCHMARKS.md round 2)."""
+    B = q_ref.shape[0]
+    base = pl.program_id(1) * B
+    hd = q_ref.shape[3]
+    scale = hd ** -0.5
+    pos = pos_ref[0]
+    tile0 = pl.multiple_of((pos // 128) * 128, 128)
+    col = jax.lax.rem(pos, 128)
+    prec = (jax.lax.Precision.HIGHEST if kc_ref.dtype == jnp.float32
+            else None)
+    for b in range(B):
+        length = lens_ref[base + b]
+        q = q_ref[b, 0]                                # (R, HD)
+        kc = kc_ref[b, 0]                              # (HD, S)
+        vc = vc_ref[b, 0]
+        s_old = jax.lax.dot_general(
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale                    # (R, S)
+        mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
+        s_old = jnp.where(mask, s_old, NEG_INF)
+
+        kn = kn_ref[b, 0, 0].astype(jnp.float32)       # (HD,)
+        vn = vn_ref[b, 0, 0].astype(jnp.float32)
+        qf = q.astype(jnp.float32)
+        s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
+
+        m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+        p_old = jnp.exp(s_old - m)
+        p_new = jnp.exp(s_new - m)
+        denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
+
+        out = jax.lax.dot_general(
+            p_old.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        out = out + p_new * vn[None, :]
+        out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
+
+        # fused cache update: RMW the (HD, 128) tile holding ``pos``
+        # (ref-level pl.ds load — Mosaic has no value-level dynamic_slice)
+        # minor-dim insertion must happen in 32-bit (Mosaic constraint), so
+        # select in f32 on the already-upcast kn/vn and cast the tile back
+        wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
+        oldk = kc_ref[b, 0, :, pl.ds(tile0, 128)].astype(jnp.float32)
+        oldv = vc_ref[b, 0, :, pl.ds(tile0, 128)].astype(jnp.float32)
+        outk_ref[b, 0] = jnp.where(wmask, kn[:, None],
+                                   oldk).astype(outk_ref.dtype)
+        outv_ref[b, 0] = jnp.where(wmask, vn[:, None],
+                                   oldv).astype(outv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("b_blk", "interpret"))
+def _decode_attn_bloop_w(q, k_new, v_new, cache_k, cache_v, lengths, pos,
+                         b_blk, interpret=False):
+    """Fused decode attention + cache update. Returns (out, new_k_pool,
+    new_v_pool); the pools alias the inputs (in-place tile write)."""
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    head = lambda j, i, lens, p: (i, j, 0, 0)
+    tile = lambda j, i, lens, p: (i, j, 0, p[0] // 128)
+    pool_shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    out, wk, wv = pl.pallas_call(
+        _kernel_bloop_w,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nkv, b // b_blk),
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+                   pool_shape, pool_shape],
+        # flat inputs incl. scalar prefetch: lens(0) pos(1) q(2) kn(3)
+        # vn(4) kc(5) vc(6) → alias the pools to outputs 1/2
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      q, k_new, v_new, cache_k, cache_v)
+    return out, wk, wv
+
+
+def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
+                            use_pallas: Optional[bool] = None):
+    """Decode attention + in-place cache update in ONE kernel call.
+
+    q (b, 1, nq, hd); k_new/v_new (b, 1, nkv, hd); cache (b, nkv, hd, S)
+    lane-major per-layer pools; pos scalar. Returns (out (b, 1, nq, hd),
+    new_cache_k, new_cache_v). Falls back to cached_attention_t +
+    write_kv_layer when the fused kernel's constraints don't hold — both
+    paths: attention reads only tokens < pos, then the new column lands."""
+    b, sq, nq, hd = q.shape
+    nkv, S = cache_k.shape[1], cache_k.shape[3]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sq == 1 and hd % 8 == 0 and S % 128 == 0 and \
+            os.environ.get("ACCESSORY_FUSED_ATTN_WRITE", "1") == "1":
+        qg = q.reshape(b, nkv, nq // nkv, hd)
+        kn = k_new.reshape(b, nkv, 1, hd)
+        vn = v_new.reshape(b, nkv, 1, hd)
+        pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
+        b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize)
+        out, wk, wv = _decode_attn_bloop_w(
+            qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
+            interpret=not use_pallas)
+        return out.reshape(b, 1, nq, hd), wk, wv
+    out = cached_attention_t(q, k_new, v_new, cache_k, cache_v, pos,
+                             use_pallas=use_pallas)
+    wk, wv = write_kv_layer(cache_k, cache_v, k_new, v_new, pos)
+    return out, wk, wv
+
+
 # leave headroom for double buffering + q/out blocks in ~16 MB VMEM
 _VMEM_BUDGET = 6 * 1024 * 1024
 

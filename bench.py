@@ -28,6 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: remote compiles through the relay cost minutes;
+# cached reloads are seconds (same flag the test/bench sessions set via env)
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
 # v5e (TPU v5 lite): ~819 GB/s HBM bandwidth per chip (measured streaming
 # ceiling on this chip: ~656 GB/s elementwise, ~744 GB/s read-reduce)
 HBM_BW = 819e9

@@ -47,11 +47,11 @@ def main():
     args = LLaMAArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
                      vocab_size=32000, multiple_of=256,
                      max_seq_len=B.CACHE_LEN, dtype="bfloat16")
-    params = fuse_for_decode(B._host_synthetic_w4(args))
+    params = llama.unstack_layers(fuse_for_decode(B._host_synthetic_w4(args)))
 
     real = {k: getattr(llama, k) for k in
-            ("linear", "cached_attention_t", "write_kv_t", "module_linear",
-             "module_linear_nr", "rms_norm", "apply_rope")}
+            ("linear", "cached_attention_t", "write_kv_t", "write_kv_layer",
+             "module_linear", "module_linear_nr", "rms_norm", "apply_rope")}
 
     def _zeros_like_out(x, mod):
         w = mod["weight"]
@@ -76,6 +76,7 @@ def main():
                 lambda q, k, v, ck, cv, pos, **kw: q)
         elif name == "nowrite":
             llama.write_kv_t = lambda ck, cv, nk, nv, pos, **kw: (ck, cv)
+            llama.write_kv_layer = lambda ck, cv, nk, nv, pos, **kw: (ck, cv)
         elif name == "nomatmul":
             def nr(x, mod, *, norm=None, eps=1e-5, residual=None):
                 y = _zeros_like_out(x, mod)
@@ -100,7 +101,8 @@ def main():
     for name in (sys.argv[1:] or ["full", "nohead", "noattn", "nowrite",
                                   "nomatmul", "nonorm", "norope"]):
         # fresh cache per config: the step donates it
-        cache0 = llama.init_kv_cache(args, B.BATCH, max_len=B.CACHE_LEN)
+        cache0 = llama.init_kv_cache(args, B.BATCH, max_len=B.CACHE_LEN,
+                                     stacked=False)
         dt = measure(patched(name), params, cache0)
         delta = "" if base is None else f"  (saves {1e3*(base-dt):+.3f})"
         if name == "full":

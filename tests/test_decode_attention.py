@@ -107,3 +107,35 @@ def test_write_kv_t_dispatch_parity():
     k1, v1 = da.write_kv_t(ck, cv, nk, nv, 37, use_pallas=True)
     np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
     np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+
+def test_fused_attention_update_matches_two_step():
+    """decode_attention_update (one kernel: attention + in-place column
+    write) == cached_attention_t followed by write_kv_layer."""
+    q, kn, vn, ck, cv, lens = _mk(seed=9)
+    b = q.shape[0]
+    pos = 100  # scalar decode position (all slots aligned)
+    lens = jnp.full((b,), pos, jnp.int32)
+
+    want_out = da.cached_attention_t(q, kn, vn, ck, cv, lens,
+                                     use_pallas=False)
+    want_k, want_v = da.write_kv_layer(ck, cv, kn, vn, pos)
+
+    got_out, got_k, got_v = da.decode_attention_update(
+        q, kn, vn, ck, cv, pos, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+@pytest.mark.parametrize("pos", [0, 127, 128, 255])
+def test_fused_attention_update_tile_positions(pos):
+    """The fused column write lands in the right lane tile for any pos."""
+    q, kn, vn, ck, cv, _ = _mk(seed=11)
+    b = q.shape[0]
+    _, got_k, got_v = da.decode_attention_update(
+        q, kn, vn, ck, cv, pos, use_pallas=False)
+    want_k, want_v = da.write_kv_layer(ck, cv, kn, vn, pos)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))

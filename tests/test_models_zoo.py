@@ -80,3 +80,44 @@ def test_mixtral_aux_loss():
     # perfectly balanced loss would equal load_balancing_weight; any routing
     # gives something in (0, E * weight]
     assert 0.0 < float(aux) <= args.load_balancing_weight * args.num_experts
+
+
+def test_unstacked_decode_parity_zoo():
+    """Unrolled decode (+fused attention/cache-update) matches the stacked
+    scan path for mixtral, falcon, and internlm."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accessory_tpu.config import FalconArgs, InternLMArgs, MixtralArgs
+    from accessory_tpu.models import falcon, internlm, mixtral
+    from accessory_tpu.models.llama import unstack_layers
+
+    cases = [
+        (mixtral, MixtralArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                              hidden_dim=96, vocab_size=128, num_experts=4,
+                              max_seq_len=64, dtype="float32")),
+        (falcon, FalconArgs(hidden_size=64, num_layers=2,
+                            num_attention_heads=4, vocab_size=128,
+                            max_seq_len=64, dtype="float32")),
+        (internlm, InternLMArgs(hidden_size=64, num_layers=2,
+                                num_attention_heads=4, vocab_size=128,
+                                max_seq_len=64, dtype="float32")),
+    ]
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(0, 128, (2, 5)), jnp.int32)
+    tol = dict(atol=3e-5, rtol=3e-5)
+    for mod, args in cases:
+        params = mod.init_params(jax.random.PRNGKey(0), args)
+        un = unstack_layers(params)
+        cs = mod.init_kv_cache(args, 2)
+        cu = mod.init_kv_cache(args, 2, stacked=False)
+        ls, cs = mod.forward(params, args, toks, cache=cs, cur_pos=0)
+        lu, cu = mod.forward(un, args, toks, cache=cu, cur_pos=0)
+        np.testing.assert_allclose(np.asarray(ls), np.asarray(lu), **tol)
+        ls2, cs = mod.forward(params, args, toks[:, :1], cache=cs, cur_pos=5)
+        lu2, cu = mod.forward(un, args, toks[:, :1], cache=cu, cur_pos=5)
+        np.testing.assert_allclose(np.asarray(ls2), np.asarray(lu2), **tol)
+        np.testing.assert_allclose(
+            np.asarray(cs["k"]),
+            np.stack([np.asarray(c) for c in cu["k"]]), **tol)
