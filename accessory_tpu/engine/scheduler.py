@@ -92,6 +92,16 @@ class ContinuousBatcher:
         # (~30 ms/fetch through the axon relay vs ~2 ms device step); costs
         # up to n-1 wasted tokens per request past a stop sequence.
         self.decode_steps = max(1, int(decode_steps))
+        # decode-optimized weight layout (see engine.generate.Generator):
+        # scan-sliced weights can't fuse into Pallas calls
+        import os as _os
+
+        if (jax.default_backend() == "tpu"
+                and _os.environ.get("ACCESSORY_TPU_UNROLL", "1") == "1"
+                and getattr(module, "SUPPORTS_UNROLLED_PAGED", False)):
+            from accessory_tpu.models.llama import unstack_layers
+
+            params = unstack_layers(params)
         self.module = module
         self.args = args
         self.params = params

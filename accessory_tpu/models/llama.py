@@ -42,6 +42,8 @@ Params = Dict[str, Any]
 
 # Generator may unstack layers for the trace-time-unrolled decode loop
 SUPPORTS_UNROLLED_DECODE = True
+# forward_paged also accepts unstacked layers (ContinuousBatcher uses this)
+SUPPORTS_UNROLLED_PAGED = True
 
 
 # ---------------------------------------------------------------------------
@@ -473,13 +475,20 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
 
     # pools stay READ-ONLY inside the scan (carrying them through scan
     # outputs copies the whole pool every layer — see cached_attention)
-    def body(h, xs):
-        layer, kp, vp = xs
-        x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
+    def paged_block(h, layer, kp, vp):
         att = layer["attention"]
-        q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
-        k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
-        v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
+        if "wqkv" in att:
+            qkv = module_linear_nr(h, att["wqkv"],
+                                   norm=layer["attention_norm"],
+                                   eps=args.norm_eps)
+            q = qkv[..., :nq * hd].reshape(b, sq, nq, hd)
+            k = qkv[..., nq * hd:(nq + nkv) * hd].reshape(b, sq, nkv, hd)
+            v = qkv[..., (nq + nkv) * hd:].reshape(b, sq, nkv, hd)
+        else:
+            x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
+            q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
+            k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
+            v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
         q = apply_rope(q, cos, sin, args.rope_style)
         k = apply_rope(k, cos, sin, args.rope_style)
 
@@ -489,21 +498,48 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
-        h = h + module_linear(out.reshape(b, sq, nq * hd), att["wo"])
-        x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
+        h = module_linear_nr(out.reshape(b, sq, nq * hd), att["wo"],
+                             residual=h)
         ff = layer["feed_forward"]
-        gate = jax.nn.silu(module_linear(x, ff["w1"]))
-        h = h + module_linear(gate * module_linear(x, ff["w3"]), ff["w2"])
-        return h, (k, v)
+        if "w13" in ff:
+            gu = module_linear_nr(h, ff["w13"], norm=layer["ffn_norm"],
+                                  eps=args.norm_eps)
+            hidden = gu.shape[-1] // 2
+            gate = jax.nn.silu(gu[..., :hidden])
+            h = module_linear_nr(gate * gu[..., hidden:], ff["w2"],
+                                 residual=h)
+        else:
+            x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
+            gate = jax.nn.silu(module_linear(x, ff["w1"]))
+            h = module_linear_nr(gate * module_linear(x, ff["w3"]),
+                                 ff["w2"], residual=h)
+        return h, k, v
 
-    h, (new_k, new_v) = jax.lax.scan(
-        body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled paged decode (see forward: scan-sliced weights can't
+        # fuse into Pallas calls). Page-pool slices stay in the XLA gather
+        # path, where static slices fuse for free.
+        nk, nv = [], []
+        for i, layer in enumerate(params["layers"]):
+            h, k, v = paged_block(h, layer, pcache.k_pages[i],
+                                  pcache.v_pages[i])
+            nk.append(k)
+            nv.append(v)
+        new_k, new_v = jnp.stack(nk), jnp.stack(nv)
+    else:
+        def body(h, xs):
+            layer, kp, vp = xs
+            h, k, v = paged_block(h, layer, kp, vp)
+            return h, (k, v)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
 
     k_pages, v_pages = write_tokens_all_layers(
         pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices, start)
 
-    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
-    logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
+    logits = module_linear_nr(h, params["output"], norm=params["norm"],
+                              eps=args.norm_eps).astype(jnp.float32)
     new_cache = dataclasses.replace(
         pcache, k_pages=k_pages, v_pages=v_pages, lengths=old_lengths + sq)
     return logits, new_cache

@@ -75,3 +75,42 @@ def test_paged_decode_matches_dense_cache():
         lpp, pcache = llama.forward_paged(params, args, tokens[:, i:i + 1], pcache)
         np.testing.assert_allclose(np.asarray(lpp), np.asarray(ldd),
                                    rtol=3e-4, atol=3e-4)
+
+
+def test_forward_paged_unstacked_layers_parity():
+    """forward_paged with unstacked layers == stacked scan path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+
+    args = LLaMAArgs(dim=64, n_layers=3, n_heads=4, n_kv_heads=2,
+                     vocab_size=128, multiple_of=16, max_seq_len=64,
+                     dtype="float32")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    un = llama.unstack_layers(params)
+    toks = jnp.asarray(
+        np.random.RandomState(0).randint(0, 128, (2, 8)), jnp.int32)
+
+    pc1 = llama.init_paged_cache(args, slots=2, total_pages=10, page_size=8,
+                                 pages_per_seq=4)
+    pt = jnp.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], jnp.int32)
+    pc1 = dataclasses.replace(pc1, page_indices=pt)
+    pc2 = dataclasses.replace(pc1)
+
+    tol = dict(atol=3e-5, rtol=3e-5)
+    l1, pc1 = llama.forward_paged(params, args, toks, pc1)
+    l2, pc2 = llama.forward_paged(un, args, toks, pc2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), **tol)
+    # decode step
+    d1, pc1 = llama.forward_paged(params, args, toks[:, :1], pc1,
+                                  active_pages=2)
+    d2, pc2 = llama.forward_paged(un, args, toks[:, :1], pc2,
+                                  active_pages=2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), **tol)
+    np.testing.assert_allclose(np.asarray(pc1.k_pages),
+                               np.asarray(pc2.k_pages), **tol)
