@@ -25,6 +25,9 @@ def get_args_parser():
     p.add_argument("--temperature", default=0.1, type=float)
     p.add_argument("--top_p", default=0.75, type=float)
     p.add_argument("--quant", action="store_true")
+    p.add_argument("--quant_bits", default=4, type=int, choices=(3, 4, 8))
+    p.add_argument("--kv_dtype", default=None, choices=(None, "int8"),
+                   help="int8: quantized KV cache (2x context per GB)")
     p.add_argument("--image", default=None, type=str,
                    help="start the session with this image attached")
     return p
@@ -67,7 +70,8 @@ def main(args) -> None:
     for path in args.pretrained_path:
         m = MetaModel.from_pretrained(
             path, llama_type=args.llama_type,
-            max_seq_len=args.max_seq_len, quant=args.quant)
+            max_seq_len=args.max_seq_len, quant=args.quant,
+            quant_bits=args.quant_bits, kv_dtype=args.kv_dtype)
         models.append((path, m))
 
     image = _load_image(args.image, models[0][1]) if args.image else None

@@ -30,6 +30,9 @@ def get_args_parser():
     p.add_argument("--llama_type", default=None, type=str)
     p.add_argument("--max_seq_len", default=2048, type=int)
     p.add_argument("--quant", action="store_true")
+    p.add_argument("--quant_bits", default=4, type=int, choices=(3, 4, 8))
+    p.add_argument("--kv_dtype", default=None, choices=(None, "int8"),
+                   help="int8: quantized KV cache (2x context per GB)")
     p.add_argument("--host", default="127.0.0.1", type=str)
     p.add_argument("--port", default=8080, type=int)
     return p
@@ -118,7 +121,8 @@ def main(args) -> None:
 
     model = MetaModel.from_pretrained(
         args.pretrained_path, llama_type=args.llama_type,
-        max_seq_len=args.max_seq_len, quant=args.quant)
+        max_seq_len=args.max_seq_len, quant=args.quant,
+        quant_bits=args.quant_bits, kv_dtype=args.kv_dtype)
     serve(model, args.host, args.port).serve_forever()
 
 

@@ -46,12 +46,21 @@ class Generator:
     + tokenizer into the reference's generation API surface."""
 
     def __init__(self, module, args, params, tokenizer, encode_image=None,
-                 unroll_decode: Optional[bool] = None):
+                 unroll_decode: Optional[bool] = None,
+                 kv_dtype: Optional[str] = None):
         self.module = module
         self.args = args
         self.tokenizer = tokenizer
         self.encode_image = encode_image  # optional multimodal hook
         self._loop_cache = {}
+        # int8 KV cache (half the KV HBM traffic, 2x context per GB) for
+        # modules that support it; default stays the activation dtype.
+        # Env ACCESSORY_KV_DTYPE=int8 flips the default (also read inside
+        # init_kv_cache — passing it here just keeps the intent explicit).
+        if kv_dtype is not None and not getattr(module, "SUPPORTS_KV_INT8",
+                                                False):
+            raise ValueError(f"{module.__name__} has no int8-KV support")
+        self.kv_dtype = kv_dtype
         # Trace-time-unrolled decode loop over unstacked per-layer buffers:
         # inside lax.scan a sliced stacked weight/cache operand cannot fuse
         # into a Pallas custom call, so XLA copies it every layer (~2x all
@@ -67,6 +76,17 @@ class Generator:
                 and getattr(module, "SUPPORTS_UNROLLED_DECODE", False))
         self.unroll_decode = bool(unroll_decode)
         if self.unroll_decode:
+            # fused wqkv/w13 weights first (5 -> 2 kernel launches per
+            # layer; enables the decode-RoPE kernel epilogue), then
+            # per-layer buffers. fuse_for_decode is a no-op where fusion
+            # doesn't apply (PEFT adapters, mixed representations).
+            import os as _os
+
+            if (getattr(module, "SUPPORTS_FUSED_QKV", False)
+                    and _os.environ.get("ACCESSORY_TPU_FUSE", "1") == "1"):
+                from accessory_tpu.quant.fuse import fuse_for_decode
+
+                params = fuse_for_decode(params)
             from accessory_tpu.models.llama import unstack_layers
 
             params = unstack_layers(params)
@@ -89,9 +109,11 @@ class Generator:
             """tokens/mask: (bsz, total_len buffer); start_pos: scalar min
             prompt len; end: scalar logical stop position (prompt+max_gen).
             Returns (tokens, stopped, stop_pos)."""
+            kw = ({"kv_dtype": self.kv_dtype}
+                  if self.kv_dtype is not None else {})
             cache = module.init_kv_cache(
                 args, bsz, max_len=total_len + n_image_words,
-                stacked=not self.unroll_decode)
+                stacked=not self.unroll_decode, **kw)
 
             prefix = tokens[:, :prefill_len]
             if embeds is not None:
@@ -268,9 +290,10 @@ class Generator:
         tokens = np.zeros((1, buf_len), np.int32)
         tokens[0, :start] = tokens_l
 
+        kw = {"kv_dtype": self.kv_dtype} if self.kv_dtype is not None else {}
         cache = self.module.init_kv_cache(
             self.args, 1, max_len=buf_len + n_image_words,
-            stacked=not self.unroll_decode)
+            stacked=not self.unroll_decode, **kw)
 
         @functools.lru_cache(maxsize=None)
         def step_fn(seq_len):

@@ -35,6 +35,9 @@ class PagedKVCache:
     v_pages: jnp.ndarray
     page_indices: jnp.ndarray  # (slots, pages_per_seq) i32
     lengths: jnp.ndarray  # (slots,) i32
+    # int8 pools only: per-token-per-head f32 scales (L, n_kv, P, page_size)
+    ks_pages: Optional[jnp.ndarray] = None
+    vs_pages: Optional[jnp.ndarray] = None
 
     @property
     def page_size(self) -> int:
@@ -54,23 +57,32 @@ def init_paged_cache(
     slots: int,
     pages_per_seq: int,
     dtype=jnp.bfloat16,
+    kv_dtype: Optional[str] = None,
 ) -> PagedKVCache:
     """Fresh pool. When the pool covers the worst case the page table
     defaults to the identity allocation slot*pages_per_seq + j (standalone
     use without a scheduler); an OVERSUBSCRIBED pool (total_pages <
     slots*pages_per_seq, the point of paging) starts all-zero — the
-    scheduler's PagePool allocator owns the table then."""
+    scheduler's PagePool allocator owns the table then.
+
+    ``kv_dtype="int8"``: int8 pools + f32 scale pools — the same HBM holds
+    ~2x the pages (2x serving context capacity)."""
     if slots * pages_per_seq <= total_pages:
         idx = (jnp.arange(slots)[:, None] * pages_per_seq
                + jnp.arange(pages_per_seq)[None, :]).astype(jnp.int32)
     else:
         idx = jnp.zeros((slots, pages_per_seq), jnp.int32)
+    int8_kv = kv_dtype in ("int8", "i8")
+    if int8_kv:
+        dtype = jnp.int8
     shape = (n_layers, n_kv, total_pages, page_size, head_dim)
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
         page_indices=idx,
         lengths=jnp.zeros((slots,), jnp.int32),
+        ks_pages=jnp.zeros(shape[:4], jnp.float32) if int8_kv else None,
+        vs_pages=jnp.zeros(shape[:4], jnp.float32) if int8_kv else None,
     )
 
 
@@ -139,19 +151,35 @@ def write_tokens_all_layers(
     v_new: jnp.ndarray,
     page_indices: jnp.ndarray,  # (b, pages_per_seq)
     start_pos: jnp.ndarray,  # (b,)
+    ks_pages: Optional[jnp.ndarray] = None,  # (L, n_kv, P, ps) int8 pools
+    vs_pages: Optional[jnp.ndarray] = None,
 ):
     """One bulk scatter of every layer's new tokens into the pools —
-    replaces per-layer writes inside the scan (which copy the whole pool)."""
+    replaces per-layer writes inside the scan (which copy the whole pool).
+    With int8 pools (scale pools given) tokens are quantized per-vector
+    first and returns (k, v, ks, vs)."""
     L, b, s, n_kv, hd = k_new.shape
     ps = k_pages.shape[3]
     pos = start_pos[:, None] + jnp.arange(s)[None, :]  # (b, s)
     page = jnp.take_along_axis(page_indices, pos // ps, axis=1).reshape(-1)
     slot = (pos % ps).reshape(-1)
+    ksc = vsc = None
+    if ks_pages is not None:
+        from accessory_tpu.ops.decode_attention import quantize_kv_chunk
+
+        k_new, ksc = quantize_kv_chunk(k_new)   # int8 vals, (L,b,s,n_kv)
+        v_new, vsc = quantize_kv_chunk(v_new)
     kn = k_new.transpose(0, 3, 1, 2, 4).reshape(L, n_kv, b * s, hd)
     vn = v_new.transpose(0, 3, 1, 2, 4).reshape(L, n_kv, b * s, hd)
     k_pages = k_pages.at[:, :, page, slot, :].set(kn.astype(k_pages.dtype))
     v_pages = v_pages.at[:, :, page, slot, :].set(vn.astype(v_pages.dtype))
-    return k_pages, v_pages
+    if ks_pages is None:
+        return k_pages, v_pages
+    ks_pages = ks_pages.at[:, :, page, slot].set(
+        ksc.transpose(0, 3, 1, 2).reshape(L, n_kv, b * s))
+    vs_pages = vs_pages.at[:, :, page, slot].set(
+        vsc.transpose(0, 3, 1, 2).reshape(L, n_kv, b * s))
+    return k_pages, v_pages, ks_pages, vs_pages
 
 
 def paged_attention_xla(
@@ -185,13 +213,17 @@ def paged_attention_xla(
     return out.reshape(b, nq, hd).astype(q.dtype)
 
 
-def gather_pages(k_pages, v_pages, page_indices, active_pages=None):
+def gather_pages(k_pages, v_pages, page_indices, active_pages=None,
+                 ks_pages=None, vs_pages=None):
     """Dense (b, ctx, n_kv, hd) views of each slot's pages.
 
     ``active_pages`` (static int) bounds the gather to the first N logical
     pages — the scheduler passes the bucketed max context so decode HBM
     traffic scales with the ACTUAL context, not max_seq_len (VERDICT r1:
-    the gather path used to read pages_per_seq * ps regardless)."""
+    the gather path used to read pages_per_seq * ps regardless).
+
+    int8 pools (``ks_pages``/``vs_pages`` scales given) dequantize after
+    the gather: pool reads stay at the 1-byte footprint."""
     n_kv, _, ps, hd = k_pages.shape
     if active_pages is not None:
         page_indices = page_indices[:, :active_pages]
@@ -201,6 +233,13 @@ def gather_pages(k_pages, v_pages, page_indices, active_pages=None):
         b, ctx, n_kv, hd)
     v = v_pages[:, page_indices].transpose(1, 2, 3, 0, 4).reshape(
         b, ctx, n_kv, hd)
+    if ks_pages is not None:
+        ks = ks_pages[:, page_indices].transpose(1, 2, 3, 0).reshape(
+            b, ctx, n_kv)
+        vs = vs_pages[:, page_indices].transpose(1, 2, 3, 0).reshape(
+            b, ctx, n_kv)
+        k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+        v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
     return k, v
 
 
@@ -213,13 +252,16 @@ def paged_cached_attention(
     lengths_old: jnp.ndarray,  # (b,) valid tokens per slot (excl. new)
     page_indices: jnp.ndarray,
     active_pages=None,
+    ks_pages=None,
+    vs_pages=None,
 ) -> jnp.ndarray:
     """Decode attention against READ-ONLY page pools + the new token, via
     the same two-part softmax as ops.attention.cached_attention — so models
     can keep the pool out of their scan carry/outputs (the scan-copy fix)."""
     from accessory_tpu.ops.attention import cached_attention
 
-    k, v = gather_pages(k_pages, v_pages, page_indices, active_pages)
+    k, v = gather_pages(k_pages, v_pages, page_indices, active_pages,
+                        ks_pages, vs_pages)
     return cached_attention(q, k_new, v_new, k, v, lengths_old)
 
 

@@ -85,7 +85,8 @@ class ContinuousBatcher:
     def __init__(self, module, args, params, tokenizer, slots: int = 8,
                  page_size: int = 64, pages_per_seq: Optional[int] = None,
                  total_pages: Optional[int] = None, seed: int = 0,
-                 stop_symbols: Iterable[str] = (), decode_steps: int = 1):
+                 stop_symbols: Iterable[str] = (), decode_steps: int = 1,
+                 kv_dtype: Optional[str] = None):
         # decode_steps > 1 = multi-step scheduling (vLLM num_scheduler_steps
         # role): each dispatch decodes n tokens per slot with on-device
         # sampling before the host fetch. Amortizes host<->device latency
@@ -99,6 +100,12 @@ class ContinuousBatcher:
         if (jax.default_backend() == "tpu"
                 and _os.environ.get("ACCESSORY_TPU_UNROLL", "1") == "1"
                 and getattr(module, "SUPPORTS_UNROLLED_PAGED", False)):
+            if (getattr(module, "SUPPORTS_FUSED_QKV", False)
+                    and _os.environ.get("ACCESSORY_TPU_FUSE", "1") == "1"):
+                # fused wqkv/w13: 5 -> 2 kernel launches per layer
+                from accessory_tpu.quant.fuse import fuse_for_decode
+
+                params = fuse_for_decode(params)
             from accessory_tpu.models.llama import unstack_layers
 
             params = unstack_layers(params)
@@ -113,9 +120,12 @@ class ContinuousBatcher:
         # case — servers shrink total_pages to oversubscribe contexts
         self.total_pages = total_pages or (slots * self.pages_per_seq + 1)
         self.pool = PagePool(self.total_pages)
+        # kv_dtype="int8": quantized page pools — the same HBM holds ~2x
+        # the pages, so total_pages can double for the same budget
+        kw = {"kv_dtype": kv_dtype} if kv_dtype is not None else {}
         self.pcache = module.init_paged_cache(
             args, slots=slots, total_pages=self.total_pages,
-            page_size=page_size, pages_per_seq=self.pages_per_seq)
+            page_size=page_size, pages_per_seq=self.pages_per_seq, **kw)
 
         # host mirrors of the device page table / lengths
         self.page_table = np.full((slots, self.pages_per_seq), PagePool.TRASH,
@@ -307,12 +317,15 @@ class ContinuousBatcher:
             temps, topps)
         nxt = np.asarray(nxt)
 
-        # adopt the updated pools; set admitted lengths
+        # adopt the updated pools; set admitted lengths (ALL pool buffers:
+        # the prefill donated them, so the old references are deleted)
         self.h_len[gslots] = plens
+        extra = ({} if sub.ks_pages is None
+                 else {"ks_pages": sub.ks_pages, "vs_pages": sub.vs_pages})
         self.pcache = dataclasses.replace(
             self.pcache, k_pages=sub.k_pages, v_pages=sub.v_pages,
             page_indices=jnp.asarray(self.page_table),
-            lengths=jnp.asarray(self.h_len))
+            lengths=jnp.asarray(self.h_len), **extra)
 
         first = []
         for i, (slot, req) in enumerate(group):

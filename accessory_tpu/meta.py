@@ -99,7 +99,8 @@ class MetaModel:
             assert self.params is not None and self.tokenizer is not None
             self._generator = Generator(
                 self.module, self.args, self.params, self.tokenizer,
-                encode_image=self._encode_image_hook())
+                encode_image=self._encode_image_hook(),
+                kv_dtype=getattr(self, "kv_dtype", None))
         return self._generator
 
     def _reset_generator(self):
@@ -171,6 +172,8 @@ class MetaModel:
         max_seq_len: int = 4096,
         with_visual: bool = False,
         quant: bool = False,
+        quant_bits: int = 4,
+        kv_dtype: Optional[str] = None,
         dtype: str = "bfloat16",
     ) -> "MetaModel":
         """Probe a checkpoint dir for meta.json / config.json / tokenizer and
@@ -202,5 +205,10 @@ class MetaModel:
 
         model.params = load_checkpoint_list(paths, model.params, dtype=dtype)
         if quant:
-            model.quantize()
+            model.quantize(bits=quant_bits)
+        if kv_dtype is not None:
+            # int8 KV cache (half KV HBM traffic, 2x context per GB) —
+            # consumed by the Generator at cache init
+            model.kv_dtype = kv_dtype
+            model._reset_generator()
         return model

@@ -19,8 +19,12 @@ import jax.numpy as jnp
 from accessory_tpu.config import InternLMArgs
 from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                cached_attention_t8,
                                                 decode_attention_update,
-                                                write_kv_layer, write_kv_t)
+                                                decode_attention_update8,
+                                                write_kv_layer,
+                                                write_kv_layer8, write_kv_t,
+                                                write_kv_t8)
 from accessory_tpu.ops.linear import linear
 from accessory_tpu.ops.norms import layer_norm, rms_norm
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
@@ -29,6 +33,8 @@ Params = Dict[str, Any]
 
 # Generator may unstack layers for the trace-time-unrolled decode loop
 SUPPORTS_UNROLLED_DECODE = True
+# init_kv_cache(kv_dtype="int8") supported (ops/decode_attention.py)
+SUPPORTS_KV_INT8 = True
 
 
 def _hidden_dim(args: InternLMArgs) -> int:
@@ -111,20 +117,39 @@ def param_axes(args: InternLMArgs) -> Params:
 
 
 def init_kv_cache(args: InternLMArgs, batch: int, max_len: Optional[int] = None,
-                  dtype=None, stacked: bool = True) -> Dict[str, jnp.ndarray]:
+                  dtype=None, stacked: bool = True,
+                  kv_dtype: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    import os
+
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
+    if kv_dtype is None:
+        kv_dtype = os.environ.get("ACCESSORY_KV_DTYPE")
+    int8_kv = kv_dtype in ("int8", "i8")
+    if int8_kv:
+        dtype = jnp.int8
     nh = args.num_attention_heads
     hd = args.hidden_size // nh
     # lane-major (L, B, NKV, HD, S) — see ops/decode_attention.py
     shape = (args.num_layers, batch, nh, hd, max_len)
+    sshape = (args.num_layers, batch, nh, max_len)
     if not stacked:
         # per-layer buffers for the unrolled decode loop (see models.llama)
-        return {"k": tuple(jnp.zeros(shape[1:], dtype)
-                           for _ in range(args.num_layers)),
-                "v": tuple(jnp.zeros(shape[1:], dtype)
-                           for _ in range(args.num_layers))}
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        cache = {"k": tuple(jnp.zeros(shape[1:], dtype)
+                            for _ in range(args.num_layers)),
+                 "v": tuple(jnp.zeros(shape[1:], dtype)
+                            for _ in range(args.num_layers))}
+        if int8_kv:
+            cache["ks"] = tuple(jnp.zeros(sshape[1:], jnp.float32)
+                                for _ in range(args.num_layers))
+            cache["vs"] = tuple(jnp.zeros(sshape[1:], jnp.float32)
+                                for _ in range(args.num_layers))
+        return cache
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if int8_kv:
+        cache["ks"] = jnp.zeros(sshape, jnp.float32)
+        cache["vs"] = jnp.zeros(sshape, jnp.float32)
+    return cache
 
 
 def cache_axes() -> Dict[str, Tuple]:
@@ -133,7 +158,8 @@ def cache_axes() -> Dict[str, Tuple]:
 
 
 def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
-           cache_k=None, cache_v=None, update_cache=False):
+           cache_k=None, cache_v=None, update_cache=False,
+           cache_ks=None, cache_vs=None):
     b, sq, _ = h.shape
     d = args.hidden_size
     nh = args.num_attention_heads
@@ -148,14 +174,22 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
     q = apply_rope(q, cos, sin, "half")
     k = apply_rope(k, cos, sin, "half")
 
-    wk = wv = None
+    wk = wv = wks = wvs = None
     if cache_k is not None and update_cache:
         # fused attention + in-place cache update (ops.decode_attention)
-        out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
-                                              q_offset)
+        if cache_ks is not None:
+            out, wk, wv, wks, wvs = decode_attention_update8(
+                q, k, v, cache_k, cache_v, cache_ks, cache_vs, q_offset)
+        else:
+            out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
+                                                  q_offset)
     elif cache_k is not None:
         # read-only cache + two-part softmax (ops.attention.cached_attention)
-        out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
+        if cache_ks is not None:
+            out = cached_attention_t8(q, k, v, cache_k, cache_v,
+                                      cache_ks, cache_vs, q_offset)
+        else:
+            out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -170,6 +204,8 @@ def _block(h, layer, args: InternLMArgs, cos, sin, q_offset, kv_len,
         inner = jax.nn.gelu(linear(x, mlp["w1"]["weight"]))
     h = h + linear(inner, mlp["w3"]["weight"])
     if update_cache and wk is not None:
+        if wks is not None:
+            return h, wk, wv, wks, wvs
         return h, wk, wv
     return h, k, v
 
@@ -213,17 +249,50 @@ def forward(
     if cache is not None and isinstance(params["layers"], (list, tuple)):
         # unrolled decode loop over unstacked layers (models.llama.forward)
         fused = sq == 1  # fused attention+cache-update kernel at decode
-        new_k, new_v = [], []
-        for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
-            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
-                                     kv_len, ck, cv, fused)
-            if fused:
-                wk_, wv_ = k_new, v_new  # already-updated pools
+        int8_kv = "ks" in cache
+        new_k, new_v, new_ks, new_vs = [], [], [], []
+        for i, (layer, ck, cv) in enumerate(
+                zip(params["layers"], cache["k"], cache["v"])):
+            cks = cache["ks"][i] if int8_kv else None
+            cvs = cache["vs"][i] if int8_kv else None
+            if fused and int8_kv:
+                h, wk_, wv_, wks_, wvs_ = _block(h, layer, args, cos, sin,
+                                                 cur_pos, kv_len, ck, cv,
+                                                 True, cks, cvs)
             else:
-                wk_, wv_ = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+                h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                         kv_len, ck, cv, fused, cks, cvs)
+                if fused:
+                    wk_, wv_ = k_new, v_new  # already-updated pools
+                elif int8_kv:
+                    wk_, wv_, wks_, wvs_ = write_kv_layer8(
+                        ck, cv, cks, cvs, k_new, v_new, cur_pos)
+                else:
+                    wk_, wv_ = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
             new_k.append(wk_)
             new_v.append(wv_)
+            if int8_kv:
+                new_ks.append(wks_)
+                new_vs.append(wvs_)
         new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
+        if int8_kv:
+            new_cache["ks"] = tuple(new_ks)
+            new_cache["vs"] = tuple(new_vs)
+    elif cache is not None and "ks" in cache:
+        def body(h, xs):
+            layer, ck, cv, cks, cvs = xs
+            # _block directly: remat never applies to cached inference
+            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                     kv_len, ck, cv, False, cks, cvs)
+            return h, (k_new, v_new)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], cache["k"], cache["v"],
+                      cache["ks"], cache["vs"]))
+        wk_, wv_, wks_, wvs_ = write_kv_t8(
+            cache["k"], cache["v"], cache["ks"], cache["vs"],
+            new_k, new_v, cur_pos)
+        new_cache = {"k": wk_, "v": wv_, "ks": wks_, "vs": wvs_}
     elif cache is not None:
         def body(h, xs):
             layer, ck, cv = xs

@@ -23,6 +23,7 @@ fp32, logits fp32 (llama.py:427).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -32,11 +33,15 @@ import jax.numpy as jnp
 from accessory_tpu.config import LLaMAArgs
 from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                cached_attention_t8,
                                                 decode_attention_update,
-                                                write_kv_layer, write_kv_t)
+                                                decode_attention_update8,
+                                                write_kv_layer,
+                                                write_kv_layer8, write_kv_t,
+                                                write_kv_t8)
 from accessory_tpu.ops.linear import linear, module_linear, module_linear_nr
 from accessory_tpu.ops.norms import rms_norm
-from accessory_tpu.ops.rope import apply_rope, precompute_rope
+from accessory_tpu.ops.rope import apply_rope, precompute_rope, rope_rows
 
 Params = Dict[str, Any]
 
@@ -44,6 +49,12 @@ Params = Dict[str, Any]
 SUPPORTS_UNROLLED_DECODE = True
 # forward_paged also accepts unstacked layers (ContinuousBatcher uses this)
 SUPPORTS_UNROLLED_PAGED = True
+# init_kv_cache(kv_dtype="int8") → quantized KV pools (half the KV HBM
+# traffic, 2x context capacity; ops/decode_attention.py int8 kernels)
+SUPPORTS_KV_INT8 = True
+# _block consumes fused wqkv/w13 weights (quant/fuse.py fuse_for_decode);
+# enables the engine's auto-fuse + the decode-RoPE kernel epilogue
+SUPPORTS_FUSED_QKV = True
 
 
 # ---------------------------------------------------------------------------
@@ -188,28 +199,52 @@ def param_axes(args: LLaMAArgs) -> Params:
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(args: LLaMAArgs, batch: int, max_len: Optional[int] = None,
-                  dtype=None, stacked: bool = True) -> Dict[str, jnp.ndarray]:
+                  dtype=None, stacked: bool = True,
+                  kv_dtype: Optional[str] = None) -> Dict[str, jnp.ndarray]:
     """Static per-layer KV cache, stacked on the layer axis.
 
     TPU version of the reference's lazily-allocated (max_bsz, max_seq, n_kv,
     hd) tensors (llama.py:210-215, 429-435) — here allocation is explicit and
     the buffers are donated through decode steps so XLA updates in place.
+
+    ``kv_dtype="int8"`` (or env ACCESSORY_KV_DTYPE=int8) stores per-token-
+    per-head symmetric int8 k/v plus f32 scale pools ``ks``/``vs`` —
+    half the KV HBM traffic and 2x the context per GB
+    (ops/decode_attention.py int8 kernels).
     """
+    import os
+
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
+    if kv_dtype is None:
+        kv_dtype = os.environ.get("ACCESSORY_KV_DTYPE")
+    int8_kv = kv_dtype in ("int8", "i8")
+    if int8_kv:
+        dtype = jnp.int8
     # lane-major layout (L, B, NKV, HD, S): the context axis sits on the
     # 128-wide vector lanes so the Pallas decode-attention kernel streams
     # the cache once with no relayout (ops/decode_attention.py)
     shape = (args.n_layers, batch, args.kv_heads, args.head_dim, max_len)
+    sshape = (args.n_layers, batch, args.kv_heads, max_len)
     if not stacked:
         # per-layer buffers for the unrolled decode loop (unstack_layers):
         # scan-sliced operands can't fuse into Pallas calls, so stacked
         # caches pay a full copy per layer inside the layer scan
-        return {"k": tuple(jnp.zeros(shape[1:], dtype)
-                           for _ in range(args.n_layers)),
-                "v": tuple(jnp.zeros(shape[1:], dtype)
-                           for _ in range(args.n_layers))}
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        cache = {"k": tuple(jnp.zeros(shape[1:], dtype)
+                            for _ in range(args.n_layers)),
+                 "v": tuple(jnp.zeros(shape[1:], dtype)
+                            for _ in range(args.n_layers))}
+        if int8_kv:
+            cache["ks"] = tuple(jnp.zeros(sshape[1:], jnp.float32)
+                                for _ in range(args.n_layers))
+            cache["vs"] = tuple(jnp.zeros(sshape[1:], jnp.float32)
+                                for _ in range(args.n_layers))
+        return cache
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if int8_kv:
+        cache["ks"] = jnp.zeros(sshape, jnp.float32)
+        cache["vs"] = jnp.zeros(sshape, jnp.float32)
+    return cache
 
 
 def unstack_layers(params: Params) -> Params:
@@ -252,7 +287,10 @@ def unstack_layers(params: Params) -> Params:
 
 def cache_axes() -> Dict[str, Tuple]:
     ax = ("layers", "batch", "heads", None, None)
-    return {"k": ax, "v": ax}
+    # ks/vs only exist for int8 caches; sharding code ignores extra keys
+    return {"k": ax, "v": ax,
+            "ks": ("layers", "batch", "heads", None),
+            "vs": ("layers", "batch", "heads", None)}
 
 
 # ---------------------------------------------------------------------------
@@ -260,13 +298,16 @@ def cache_axes() -> Dict[str, Tuple]:
 # ---------------------------------------------------------------------------
 
 def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
-           cache_k=None, cache_v=None, update_cache=False):
+           cache_k=None, cache_v=None, update_cache=False,
+           cache_ks=None, cache_vs=None, rope_t=None):
     """One transformer block.
 
     Returns (h, k_new, v_new) — or, with ``update_cache=True`` (unrolled
     decode loop, per-layer cache buffers), (h, new_cache_k, new_cache_v)
     with the new token's k/v written in place by the fused
-    attention+cache-update kernel (ops.decode_attention)."""
+    attention+cache-update kernel (ops.decode_attention). With an int8
+    cache (``cache_ks``/``cache_vs`` scale pools given) the fused update
+    returns (h, wk, wv, wks, wvs)."""
     b, sq, _ = h.shape
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
@@ -274,30 +315,42 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     if "wqkv" in att:
         # decode-time fused projection (quant/fuse.py): one full-width
         # matmul, split on the output axis; attention_norm folds into the
-        # kernel prologue (module_linear_nr)
+        # kernel prologue and decode-RoPE into the epilogue
+        # (module_linear_nr — rope_t from ops.rope.rope_rows)
         qkv = module_linear_nr(h, att["wqkv"],
                                norm=layer["attention_norm"],
-                               eps=args.norm_eps)
+                               eps=args.norm_eps, rope=rope_t)
         q = qkv[..., :nq * hd].reshape(b, sq, nq, hd)
         k = qkv[..., nq * hd:(nq + nkv) * hd].reshape(b, sq, nkv, hd)
         v = qkv[..., (nq + nkv) * hd:].reshape(b, sq, nkv, hd)
+        if rope_t is None:
+            q = apply_rope(q, cos, sin, args.rope_style)
+            k = apply_rope(k, cos, sin, args.rope_style)
     else:
         x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
         q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
         k = module_linear(x, att["wk"]).reshape(b, sq, nkv, hd)
         v = module_linear(x, att["wv"]).reshape(b, sq, nkv, hd)
-    q = apply_rope(q, cos, sin, args.rope_style)
-    k = apply_rope(k, cos, sin, args.rope_style)
+        q = apply_rope(q, cos, sin, args.rope_style)
+        k = apply_rope(k, cos, sin, args.rope_style)
 
-    wk = wv = None
+    wk = wv = wks = wvs = None
     if cache_k is not None and update_cache:
         # fused attention + in-place cache update (one kernel call)
-        out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
-                                              q_offset)
+        if cache_ks is not None:
+            out, wk, wv, wks, wvs = decode_attention_update8(
+                q, k, v, cache_k, cache_v, cache_ks, cache_vs, q_offset)
+        else:
+            out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
+                                                  q_offset)
     elif cache_k is not None:
         # READ-ONLY cache + two-part softmax (pallas kernel at decode); the
         # caller writes k/v into the cache once outside the layer scan
-        out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
+        if cache_ks is not None:
+            out = cached_attention_t8(q, k, v, cache_k, cache_v,
+                                      cache_ks, cache_vs, q_offset)
+        else:
+            out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -316,6 +369,8 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
         h = module_linear_nr(gate * module_linear(x, ff["w3"]), ff["w2"],
                              residual=h)
     if update_cache and wk is not None:
+        if wks is not None:
+            return h, wk, wv, wks, wvs
         return h, wk, wv
     return h, k, v
 
@@ -362,6 +417,19 @@ def forward(
         cos, sin = cos_full[:sq], sin_full[:sq]
         kv_len = None
 
+    rope_t = None
+    # default OFF until the epilogue's Mosaic lowering is verified on the
+    # real chip (relay down when this landed); numerics are pinned by
+    # tests/test_rope_fuse.py in interpret mode either way
+    if (cache is not None and sq == 1
+            and os.environ.get("ACCESSORY_ROPE_FUSE", "0") == "1"):
+        # decode-RoPE as per-column rows, folded into the fused-wqkv
+        # kernel epilogue (one shared position for the whole batch);
+        # built ONCE per step, shared by every layer
+        cr, sr = rope_rows(cos[0], sin[0], args.n_heads + args.kv_heads,
+                           args.kv_heads, args.head_dim, args.rope_style)
+        rope_t = (cr, sr, args.rope_style, args.head_dim)
+
     block = _block
     if remat:
         block = jax.checkpoint(
@@ -377,24 +445,60 @@ def forward(
         # scale, BENCHMARKS.md round 2). With per-layer buffers the
         # kernels read HBM directly and each layer writes its own slot.
         fused = sq == 1  # fused attention+cache-update kernel at decode
-        new_k, new_v = [], []
-        for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
+        int8_kv = "ks" in cache
+        new_k, new_v, new_ks, new_vs = [], [], [], []
+        for i, (layer, ck, cv) in enumerate(
+                zip(params["layers"], cache["k"], cache["v"])):
+            cks = cache["ks"][i] if int8_kv else None
+            cvs = cache["vs"][i] if int8_kv else None
             # _block directly: remat never applies to the decode loop, and
             # the static update_cache flag must not pass through checkpoint
-            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
-                                     kv_len, ck, cv, fused)
-            if fused:
-                wk, wv = k_new, v_new  # already-updated pools
+            if fused and int8_kv:
+                h, wk, wv, wks, wvs = _block(h, layer, args, cos, sin,
+                                             cur_pos, kv_len, ck, cv, True,
+                                             cks, cvs, rope_t)
             else:
-                wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+                h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                         kv_len, ck, cv, fused, cks, cvs,
+                                         rope_t)
+                if fused:
+                    wk, wv = k_new, v_new  # already-updated pools
+                elif int8_kv:
+                    wk, wv, wks, wvs = write_kv_layer8(
+                        ck, cv, cks, cvs, k_new, v_new, cur_pos)
+                else:
+                    wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
             new_k.append(wk)
             new_v.append(wv)
+            if int8_kv:
+                new_ks.append(wks)
+                new_vs.append(wvs)
         new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
+        if int8_kv:
+            new_cache["ks"] = tuple(new_ks)
+            new_cache["vs"] = tuple(new_vs)
+    elif cache is not None and "ks" in cache:
+        def body(h, xs):
+            layer, ck, cv, cks, cvs = xs
+            # _block directly: remat never applies to cached inference, and
+            # the static update_cache flag must not pass through checkpoint
+            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                     kv_len, ck, cv, False, cks, cvs,
+                                     rope_t)
+            return h, (k_new, v_new)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], cache["k"], cache["v"],
+                      cache["ks"], cache["vs"]))
+        wk, wv, wks, wvs = write_kv_t8(cache["k"], cache["v"], cache["ks"],
+                                       cache["vs"], new_k, new_v, cur_pos)
+        new_cache = {"k": wk, "v": wv, "ks": wks, "vs": wvs}
     elif cache is not None:
         def body(h, xs):
             layer, ck, cv = xs
-            h, k_new, v_new = block(h, layer, args, cos, sin, cur_pos,
-                                    kv_len, ck, cv)
+            # _block directly: remat never applies to cached inference
+            h, k_new, v_new = _block(h, layer, args, cos, sin, cur_pos,
+                                     kv_len, ck, cv, rope_t=rope_t)
             return h, (k_new, v_new)
 
         h, (new_k, new_v) = jax.lax.scan(
@@ -426,13 +530,15 @@ def forward(
 
 def init_paged_cache(args: LLaMAArgs, slots: int, total_pages: int,
                      page_size: int = 64, pages_per_seq: Optional[int] = None,
-                     dtype=None):
+                     dtype=None, kv_dtype: Optional[str] = None):
     from accessory_tpu.engine.kvcache import init_paged_cache as _init
 
+    if kv_dtype is None:
+        kv_dtype = os.environ.get("ACCESSORY_KV_DTYPE")
     pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
     return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
                  page_size, slots, pages_per_seq,
-                 dtype=dtype or jnp.dtype(args.dtype))
+                 dtype=dtype or jnp.dtype(args.dtype), kv_dtype=kv_dtype)
 
 
 def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
@@ -475,7 +581,7 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
 
     # pools stay READ-ONLY inside the scan (carrying them through scan
     # outputs copies the whole pool every layer — see cached_attention)
-    def paged_block(h, layer, kp, vp):
+    def paged_block(h, layer, kp, vp, kps=None, vps=None):
         att = layer["attention"]
         if "wqkv" in att:
             qkv = module_linear_nr(h, att["wqkv"],
@@ -494,7 +600,8 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
 
         if decode:
             out = paged_cached_attention(
-                q, k, v, kp, vp, old_lengths, page_indices, active_pages)
+                q, k, v, kp, vp, old_lengths, page_indices, active_pages,
+                kps, vps)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
@@ -515,17 +622,29 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
                                  ff["w2"], residual=h)
         return h, k, v
 
+    int8_kv = pcache.ks_pages is not None
     if isinstance(params["layers"], (list, tuple)):
         # unrolled paged decode (see forward: scan-sliced weights can't
         # fuse into Pallas calls). Page-pool slices stay in the XLA gather
         # path, where static slices fuse for free.
         nk, nv = [], []
         for i, layer in enumerate(params["layers"]):
-            h, k, v = paged_block(h, layer, pcache.k_pages[i],
-                                  pcache.v_pages[i])
+            h, k, v = paged_block(
+                h, layer, pcache.k_pages[i], pcache.v_pages[i],
+                pcache.ks_pages[i] if int8_kv else None,
+                pcache.vs_pages[i] if int8_kv else None)
             nk.append(k)
             nv.append(v)
         new_k, new_v = jnp.stack(nk), jnp.stack(nv)
+    elif int8_kv:
+        def body(h, xs):
+            layer, kp, vp, kps, vps = xs
+            h, k, v = paged_block(h, layer, kp, vp, kps, vps)
+            return h, (k, v)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], pcache.k_pages, pcache.v_pages,
+                      pcache.ks_pages, pcache.vs_pages))
     else:
         def body(h, xs):
             layer, kp, vp = xs
@@ -535,11 +654,21 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
         h, (new_k, new_v) = jax.lax.scan(
             body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
 
-    k_pages, v_pages = write_tokens_all_layers(
-        pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices, start)
+    if int8_kv:
+        k_pages, v_pages, ks_pages, vs_pages = write_tokens_all_layers(
+            pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices,
+            start, pcache.ks_pages, pcache.vs_pages)
+        new_cache = dataclasses.replace(
+            pcache, k_pages=k_pages, v_pages=v_pages, ks_pages=ks_pages,
+            vs_pages=vs_pages, lengths=old_lengths + sq)
+    else:
+        k_pages, v_pages = write_tokens_all_layers(
+            pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices,
+            start)
+        new_cache = dataclasses.replace(
+            pcache, k_pages=k_pages, v_pages=v_pages,
+            lengths=old_lengths + sq)
 
     logits = module_linear_nr(h, params["output"], norm=params["norm"],
                               eps=args.norm_eps).astype(jnp.float32)
-    new_cache = dataclasses.replace(
-        pcache, k_pages=k_pages, v_pages=v_pages, lengths=old_lengths + sq)
     return logits, new_cache

@@ -157,7 +157,12 @@ def get_trainable_params_filter(args: AdapterArgs):
     return f
 
 
-init_kv_cache = llama.init_kv_cache
+def init_kv_cache(args, batch, max_len=None, dtype=None, stacked=True,
+                  kv_dtype=None):
+    # the adapter's prefix-attention path has no int8-scale plumbing;
+    # force fp pools even when ACCESSORY_KV_DTYPE=int8 is set globally
+    return llama.init_kv_cache(args, batch, max_len, dtype, stacked,
+                               kv_dtype="fp")
 cache_axes = llama.cache_axes
 
 

@@ -110,6 +110,10 @@ init_kv_cache = llama.init_kv_cache
 # decoder delegates to the base model forward, which supports the
 # trace-time-unrolled decode loop on unstacked layers
 SUPPORTS_UNROLLED_DECODE = True
+# cache creation + forward delegate to the base model — int8 KV works
+SUPPORTS_KV_INT8 = True
+# the delegated llama._block consumes fused wqkv/w13 (quant/fuse.py)
+SUPPORTS_FUSED_QKV = True
 
 cache_axes = llama.cache_axes
 

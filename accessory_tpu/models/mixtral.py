@@ -23,8 +23,12 @@ import jax.numpy as jnp
 from accessory_tpu.config import MixtralArgs
 from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import (cached_attention_t,
+                                                cached_attention_t8,
                                                 decode_attention_update,
-                                                write_kv_layer, write_kv_t)
+                                                decode_attention_update8,
+                                                write_kv_layer,
+                                                write_kv_layer8, write_kv_t,
+                                                write_kv_t8)
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
 from accessory_tpu.ops.norms import rms_norm
@@ -34,6 +38,8 @@ Params = Dict[str, Any]
 
 # Generator may unstack layers for the trace-time-unrolled decode loop
 SUPPORTS_UNROLLED_DECODE = True
+# init_kv_cache(kv_dtype="int8") supported (see models.llama)
+SUPPORTS_KV_INT8 = True
 
 
 def init_params(key: jax.Array, args: MixtralArgs) -> Params:
@@ -154,18 +160,14 @@ def param_axes(args: MixtralArgs) -> Params:
 
 
 def init_kv_cache(args: MixtralArgs, batch: int, max_len: Optional[int] = None,
-                  dtype=None, stacked: bool = True) -> Dict[str, jnp.ndarray]:
-    max_len = max_len or args.max_seq_len
-    dtype = dtype or jnp.dtype(args.dtype)
-    # lane-major (L, B, NKV, HD, S) — see ops/decode_attention.py
-    shape = (args.n_layers, batch, args.kv_heads, args.head_dim, max_len)
-    if not stacked:
-        # per-layer buffers for the unrolled decode loop (see models.llama)
-        return {"k": tuple(jnp.zeros(shape[1:], dtype)
-                           for _ in range(args.n_layers)),
-                "v": tuple(jnp.zeros(shape[1:], dtype)
-                           for _ in range(args.n_layers))}
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+                  dtype=None, stacked: bool = True,
+                  kv_dtype: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    # identical contract to models.llama.init_kv_cache (incl. int8 pools);
+    # only generic arch fields (n_layers/kv_heads/head_dim/dtype) are used
+    from accessory_tpu.models import llama as _llama
+
+    return _llama.init_kv_cache(args, batch, max_len, dtype, stacked,
+                                kv_dtype)
 
 
 def cache_axes() -> Dict[str, Tuple]:
@@ -175,7 +177,7 @@ def cache_axes() -> Dict[str, Tuple]:
 
 def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
            cache_k=None, cache_v=None, moe_impl="ragged", balance=False,
-           update_cache=False):
+           update_cache=False, cache_ks=None, cache_vs=None):
     b, sq, _ = h.shape
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
@@ -187,14 +189,22 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
     q = apply_rope(q, cos, sin, args.rope_style)
     k = apply_rope(k, cos, sin, args.rope_style)
 
-    wk = wv = None
+    wk = wv = wks = wvs = None
     if cache_k is not None and update_cache:
         # fused attention + in-place cache update (ops.decode_attention)
-        out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
-                                              q_offset)
+        if cache_ks is not None:
+            out, wk, wv, wks, wvs = decode_attention_update8(
+                q, k, v, cache_k, cache_v, cache_ks, cache_vs, q_offset)
+        else:
+            out, wk, wv = decode_attention_update(q, k, v, cache_k, cache_v,
+                                                  q_offset)
     elif cache_k is not None:
         # read-only cache + two-part softmax (see ops.attention.cached_attention)
-        out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
+        if cache_ks is not None:
+            out = cached_attention_t8(q, k, v, cache_k, cache_v,
+                                      cache_ks, cache_vs, q_offset)
+        else:
+            out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -211,6 +221,8 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
     )
     h = h + y.reshape(b, sq, args.dim)
     if update_cache and wk is not None:
+        if wks is not None:
+            return h, (wk, wv, wks, wvs), None, aux
         return h, wk, wv, aux
     return h, k, v, aux
 
@@ -266,18 +278,53 @@ def forward(
         # unrolled decode loop over unstacked layers — scan-sliced Pallas
         # operands materialize a copy per layer (see models.llama.forward)
         fused = sq == 1  # fused attention+cache-update kernel at decode
-        new_k, new_v = [], []
-        for layer, ck, cv in zip(params["layers"], cache["k"], cache["v"]):
-            h, k_new, v_new, _ = _block(h, layer, args, cos, sin, cur_pos,
+        int8_kv = "ks" in cache
+        new_k, new_v, new_ks, new_vs = [], [], [], []
+        for i, (layer, ck, cv) in enumerate(
+                zip(params["layers"], cache["k"], cache["v"])):
+            cks = cache["ks"][i] if int8_kv else None
+            cvs = cache["vs"][i] if int8_kv else None
+            if fused and int8_kv:
+                h, pools, _, _ = _block(h, layer, args, cos, sin, cur_pos,
                                         kv_len, ck, cv, moe_impl, False,
-                                        fused)
-            if fused:
-                wk, wv = k_new, v_new  # already-updated pools
+                                        True, cks, cvs)
+                wk, wv, wks, wvs = pools
             else:
-                wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
+                h, k_new, v_new, _ = _block(h, layer, args, cos, sin,
+                                            cur_pos, kv_len, ck, cv,
+                                            moe_impl, False, fused, cks, cvs)
+                if fused:
+                    wk, wv = k_new, v_new  # already-updated pools
+                elif int8_kv:
+                    wk, wv, wks, wvs = write_kv_layer8(
+                        ck, cv, cks, cvs, k_new, v_new, cur_pos)
+                else:
+                    wk, wv = write_kv_layer(ck, cv, k_new, v_new, cur_pos)
             new_k.append(wk)
             new_v.append(wv)
+            if int8_kv:
+                new_ks.append(wks)
+                new_vs.append(wvs)
         new_cache = {"k": tuple(new_k), "v": tuple(new_v)}
+        if int8_kv:
+            new_cache["ks"] = tuple(new_ks)
+            new_cache["vs"] = tuple(new_vs)
+        aux_total = None
+    elif cache is not None and "ks" in cache:
+        def body(h, xs):
+            layer, ck, cv, cks, cvs = xs
+            # _block directly: remat never applies to cached inference
+            h, k_new, v_new, _ = _block(h, layer, args, cos, sin, cur_pos,
+                                        kv_len, ck, cv, moe_impl, False,
+                                        False, cks, cvs)
+            return h, (k_new, v_new)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, h, (params["layers"], cache["k"], cache["v"],
+                      cache["ks"], cache["vs"]))
+        wk, wv, wks, wvs = write_kv_t8(cache["k"], cache["v"], cache["ks"],
+                                       cache["vs"], new_k, new_v, cur_pos)
+        new_cache = {"k": wk, "v": wv, "ks": wks, "vs": wvs}
         aux_total = None
     elif cache is not None:
         def body(h, xs):

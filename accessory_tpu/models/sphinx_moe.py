@@ -25,6 +25,8 @@ init_kv_cache = mixtral.init_kv_cache
 # decoder delegates to the base model forward, which supports the
 # trace-time-unrolled decode loop on unstacked layers
 SUPPORTS_UNROLLED_DECODE = True
+# cache creation + forward delegate to the base model — int8 KV works
+SUPPORTS_KV_INT8 = True
 
 cache_axes = mixtral.cache_axes
 init_paged_cache = mixtral.init_paged_cache

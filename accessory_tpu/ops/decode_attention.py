@@ -226,6 +226,149 @@ def _decode_attn_bloop_w(q, k_new, v_new, cache_k, cache_v, lengths, pos,
     return out, wk, wv
 
 
+def _kernel_bloop_ws(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
+                     vc_ref, out_ref, outk_ref, outv_ref,
+                     acc_ref, m_ref, d_ref):
+    """Chunked-S (flash-decode) variant of _kernel_bloop_w.
+
+    Grid (NKV, B//b_blk, S//CS) with the context chunk innermost: the cache
+    streams in (HD, CS) chunks with the online softmax carried in VMEM
+    scratch, so the serial head of each program (the first cache-block DMA
+    that nothing overlaps) shrinks by S/CS and compute starts after one
+    chunk instead of the whole context. Same math as _kernel_bloop_w —
+    the rescaled partial sums telescope to the two-part softmax exactly.
+    The new token's column lands in the chunk that holds ``pos`` (one
+    masked (HD, 128)-tile store aliased into the pools, as before)."""
+    B = q_ref.shape[0]
+    CS = kc_ref.shape[3]
+    s_idx = pl.program_id(2)
+    ns = pl.num_programs(2)
+    base = pl.program_id(1) * B
+    hd = q_ref.shape[3]
+    scale = hd ** -0.5
+    pos = pos_ref[0]
+    col = jax.lax.rem(pos, 128)
+    # tile offset of ``pos`` inside its chunk (chunk index pos // CS)
+    ltile = pl.multiple_of((jax.lax.rem(pos, CS) // 128) * 128, 128)
+    prec = (jax.lax.Precision.HIGHEST if kc_ref.dtype == jnp.float32
+            else None)
+
+    @pl.when(s_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        d_ref[...] = jnp.zeros_like(d_ref)
+
+    for b in range(B):
+        length = lens_ref[base + b]
+        q = q_ref[b, 0]                                # (R, HD)
+        kc = kc_ref[b, 0]                              # (HD, CS)
+        vc = vc_ref[b, 0]
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale                    # (R, CS)
+        gcol = s_idx * CS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(gcol < length, s, NEG_INF)
+
+        m_prev = m_ref[b, :, :1]                       # (R, 1)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)                # (R, 1)
+        p = jnp.exp(s - m_cur)                         # (R, CS)
+        d_ref[b, :, :1] = d_ref[b, :, :1] * alpha \
+            + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (R, HD)
+        acc_ref[b] = acc_ref[b] * alpha + pv
+        m_ref[b, :, :1] = m_cur
+
+        kn = kn_ref[b, 0, 0].astype(jnp.float32)       # (HD,)
+        vn = vn_ref[b, 0, 0].astype(jnp.float32)
+
+        @pl.when(s_idx == ns - 1)
+        def _emit():
+            qf = q.astype(jnp.float32)
+            s_new = jnp.sum(qf * kn[None, :], axis=1,
+                            keepdims=True) * scale     # (R, 1)
+            m_fin = jnp.maximum(m_ref[b, :, :1], s_new)
+            a_fin = jnp.exp(m_ref[b, :, :1] - m_fin)
+            p_new = jnp.exp(s_new - m_fin)
+            denom = d_ref[b, :, :1] * a_fin + p_new
+            out = acc_ref[b] * a_fin + p_new * vn[None, :]
+            out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
+
+        # the write tile lives in exactly one chunk; RMW it there
+        @pl.when(s_idx == pos // CS)
+        def _write():
+            wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
+            oldk = kc_ref[b, 0, :, pl.ds(ltile, 128)].astype(jnp.float32)
+            oldv = vc_ref[b, 0, :, pl.ds(ltile, 128)].astype(jnp.float32)
+            outk_ref[b, 0] = jnp.where(wmask, kn[:, None],
+                                       oldk).astype(outk_ref.dtype)
+            outv_ref[b, 0] = jnp.where(wmask, vn[:, None],
+                                       oldv).astype(outv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("b_blk", "cs", "interpret"))
+def _decode_attn_bloop_ws(q, k_new, v_new, cache_k, cache_v, lengths, pos,
+                          b_blk, cs, interpret=False):
+    """Chunked-S fused decode attention + cache update (flash-decode).
+    Returns (out, new_k_pool, new_v_pool); the pools alias the inputs."""
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    head = lambda j, i, s, lens, p: (i, j, 0, 0)
+    chunk = lambda j, i, s, lens, p: (i, j, 0, s)
+    tile = lambda j, i, s, lens, p: (i, j, 0, p[0] // 128)
+    pool_shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    out, wk, wv = pl.pallas_call(
+        _kernel_bloop_ws,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nkv, b // b_blk, S // cs),
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, cs), chunk,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, cs), chunk,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b_blk, r, hd), jnp.float32),    # acc
+                pltpu.VMEM((b_blk, r, 128), jnp.float32),   # m (col 0)
+                pltpu.VMEM((b_blk, r, 128), jnp.float32),   # denom (col 0)
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+                   pool_shape, pool_shape],
+        # flat inputs incl. scalar prefetch: lens(0) pos(1) q(2) kn(3)
+        # vn(4) kc(5) vc(6) → alias the pools to outputs 1/2
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      q, k_new, v_new, cache_k, cache_v)
+    return out, wk, wv
+
+
+# context chunk for the flash-decode kernel; S must divide evenly and
+# leave >= 2 chunks for the pipelining to buy anything
+_ATTN_CHUNK = 512
+
+
 def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
                             use_pallas: Optional[bool] = None):
     """Decode attention + in-place cache update in ONE kernel call.
@@ -245,6 +388,15 @@ def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
         pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
+        # ACCESSORY_ATTN_CHUNK=1: chunked-S flash-decode variant (smaller
+        # serial DMA head per program; perf ablation — BENCHMARKS.md)
+        if (os.environ.get("ACCESSORY_ATTN_CHUNK", "0") == "1"
+                and S % _ATTN_CHUNK == 0 and S // _ATTN_CHUNK >= 2):
+            b_blk = _pick_b_blk(b, hd, _ATTN_CHUNK, cache_k.dtype.itemsize)
+            out, wk, wv = _decode_attn_bloop_ws(
+                qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
+                cs=_ATTN_CHUNK, interpret=not use_pallas)
+            return out.reshape(b, 1, nq, hd), wk, wv
         b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize)
         out, wk, wv = _decode_attn_bloop_w(
             qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
@@ -591,6 +743,460 @@ def write_kv_layer(cache_k, cache_v, new_k, new_v, pos,
     idx = (0, 0, 0, pos)
     return (jax.lax.dynamic_update_slice(cache_k, upd_k, idx),
             jax.lax.dynamic_update_slice(cache_v, upd_v, idx))
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache
+# ---------------------------------------------------------------------------
+#
+# Per-token-per-head symmetric int8: each cached (HD,) k/v vector stores
+# int8 values plus one f32 scale, so KV read+write traffic halves and the
+# same HBM holds 2x the context. The scale factors OUT of per-element math:
+#   score(r, s) = (q . k_s) * kscale_s   — a per-column multiply of (R, S)
+#   out(r, :)   = sum_s (p(r,s) * vscale_s) * v_s — fold into p before the dot
+# so the kernels dot bf16(q) x bf16(int8 cache) on the MXU and apply scales
+# as rank-1 epilogues. The current token's k/v enter attention EXACTLY
+# (two-part softmax) and are quantized only as they land in the cache.
+#
+# Reference role: KV-cache memory reduction (the reference keeps fp16
+# caches, llama.py:210-215 — int8 KV is the TPU-side upgrade that pairs
+# with W4 weights to keep decode HBM-bound traffic minimal).
+
+KV_SCALE_EPS = 1e-6
+
+
+def quantize_kv_chunk(x: jnp.ndarray):
+    """(..., HD) float -> (int8 (..., HD), f32 scales (...,)).
+
+    Symmetric per-vector quantization: scale = amax/127 (>= eps so empty
+    slots stay exactly zero / divisible)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    sc = jnp.maximum(amax, KV_SCALE_EPS) / 127.0
+    q = jnp.clip(jnp.round(xf / sc[..., None]), -127, 127).astype(jnp.int8)
+    return q, sc
+
+
+def dequantize_kv(q: jnp.ndarray, sc: jnp.ndarray, lane_major: bool = True):
+    """Inverse of quantize_kv_chunk for the XLA fallback paths.
+
+    lane_major: q (..., HD, S) with sc (..., S) — scale broadcast over HD.
+    else:       q (..., HD)   with sc (...,)."""
+    if lane_major:
+        return q.astype(jnp.float32) * sc[..., None, :]
+    return q.astype(jnp.float32) * sc[..., None]
+
+
+def _kernel_bloop_w8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
+                     vc_ref, ks_ref, vs_ref, out_ref, outk_ref, outv_ref,
+                     outks_ref, outvs_ref):
+    """int8 variant of _kernel_bloop_w: fused decode attention + in-place
+    quantized cache update. Blocks: kc/vc (b_blk,1,HD,S) int8; ks/vs
+    (b_blk,1,S) f32 scales; outk/outv int8 (HD,128) tiles + outks/outvs
+    (1,128) scale tiles, all aliased to the pools."""
+    B = q_ref.shape[0]
+    base = pl.program_id(1) * B
+    hd = q_ref.shape[3]
+    scale = hd ** -0.5
+    pos = pos_ref[0]
+    tile0 = pl.multiple_of((pos // 128) * 128, 128)
+    col = jax.lax.rem(pos, 128)
+    for b in range(B):
+        length = lens_ref[base + b]
+        q = q_ref[b, 0]                                  # (R, HD) bf16
+        kc = kc_ref[b, 0].astype(jnp.bfloat16)           # (HD, S) exact
+        vc = vc_ref[b, 0].astype(jnp.bfloat16)
+        ksc = ks_ref[b, 0:1, :]                          # (1, S) f32
+        vsc = vs_ref[b, 0:1, :]
+        s_old = jax.lax.dot_general(
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (ksc * scale)  # (R, S)
+        mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
+        s_old = jnp.where(mask, s_old, NEG_INF)
+
+        kn = kn_ref[b, 0, 0].astype(jnp.float32)         # (HD,) exact k/v
+        vn = vn_ref[b, 0, 0].astype(jnp.float32)
+        qf = q.astype(jnp.float32)
+        s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
+
+        m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+        p_old = jnp.exp(s_old - m)
+        p_new = jnp.exp(s_new - m)
+        denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
+
+        out = jax.lax.dot_general(
+            (p_old * vsc).astype(jnp.bfloat16), vc,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (R, HD)
+        out = out + p_new * vn[None, :]
+        out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
+
+        # quantize the new token and RMW its 128-lane tile + scale tile
+        # (int8 select must round-trip f32 — Mosaic's minor-dim insert is
+        # 32-bit only; |q| <= 127 makes the cast exact)
+        ks_new = jnp.maximum(jnp.max(jnp.abs(kn)), KV_SCALE_EPS) / 127.0
+        vs_new = jnp.maximum(jnp.max(jnp.abs(vn)), KV_SCALE_EPS) / 127.0
+        kq = jnp.clip(jnp.round(kn / ks_new), -127, 127)  # (HD,) f32 vals
+        vq = jnp.clip(jnp.round(vn / vs_new), -127, 127)
+        wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
+        oldk = kc_ref[b, 0, :, pl.ds(tile0, 128)].astype(jnp.float32)
+        oldv = vc_ref[b, 0, :, pl.ds(tile0, 128)].astype(jnp.float32)
+        outk_ref[b, 0] = jnp.where(wmask, kq[:, None], oldk).astype(jnp.int8)
+        outv_ref[b, 0] = jnp.where(wmask, vq[:, None], oldv).astype(jnp.int8)
+        smask = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == col
+        outks_ref[b] = jnp.where(smask, ks_new,
+                                 ks_ref[b, 0:1, pl.ds(tile0, 128)])
+        outvs_ref[b] = jnp.where(smask, vs_new,
+                                 vs_ref[b, 0:1, pl.ds(tile0, 128)])
+
+
+@functools.partial(jax.jit, static_argnames=("b_blk", "interpret"))
+def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
+                          cache_vs, lengths, pos, b_blk, interpret=False):
+    """Fused int8 decode attention + quantized cache update. Returns
+    (out, k_pool, v_pool, ks_pool, vs_pool); pools alias the inputs."""
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    head = lambda j, i, lens, p: (i, j, 0, 0)
+    tile = lambda j, i, lens, p: (i, j, 0, p[0] // 128)
+    shead = lambda j, i, lens, p: (i, j, 0)
+    stile = lambda j, i, lens, p: (i, j, p[0] // 128)
+    pool = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    spool = jax.ShapeDtypeStruct(cache_ks.shape, cache_ks.dtype)
+    out, wk, wv, wks, wvs = pl.pallas_call(
+        _kernel_bloop_w8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nkv, b // b_blk),
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, S), shead,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, S), shead,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 128), stile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 128), stile,
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+                   pool, pool, spool, spool],
+        # flat inputs incl. scalar prefetch: lens(0) pos(1) q(2) kn(3)
+        # vn(4) kc(5) vc(6) ks(7) vs(8) → alias the four pools
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      q, k_new, v_new, cache_k, cache_v, cache_ks, cache_vs)
+    return out, wk, wv, wks, wvs
+
+
+def _kernel_bloop8(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+                   ks_ref, vs_ref, out_ref):
+    """Read-only int8 decode attention (non-fused ablation / paged use)."""
+    B = q_ref.shape[0]
+    base = pl.program_id(1) * B
+    hd = q_ref.shape[3]
+    scale = hd ** -0.5
+    for b in range(B):
+        length = lens_ref[base + b]
+        q = q_ref[b, 0]
+        kc = kc_ref[b, 0].astype(jnp.bfloat16)
+        vc = vc_ref[b, 0].astype(jnp.bfloat16)
+        ksc = ks_ref[b, 0:1, :]
+        vsc = vs_ref[b, 0:1, :]
+        s_old = jax.lax.dot_general(
+            q, kc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (ksc * scale)
+        mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
+        s_old = jnp.where(mask, s_old, NEG_INF)
+
+        kn = kn_ref[b, 0, 0].astype(jnp.float32)
+        vn = vn_ref[b, 0, 0].astype(jnp.float32)
+        qf = q.astype(jnp.float32)
+        s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
+
+        m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+        p_old = jnp.exp(s_old - m)
+        p_new = jnp.exp(s_new - m)
+        denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
+
+        out = jax.lax.dot_general(
+            (p_old * vsc).astype(jnp.bfloat16), vc,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + p_new * vn[None, :]
+        out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("b_blk", "interpret"))
+def _decode_attn_bloop8(q, k_new, v_new, cache_k, cache_v, cache_ks,
+                        cache_vs, lengths, b_blk, interpret=False):
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    head = lambda j, i, lens: (i, j, 0, 0)
+    shead = lambda j, i, lens: (i, j, 0)
+    return pl.pallas_call(
+        _kernel_bloop8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nkv, b // b_blk),
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, S), shead,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, S), shead,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((b_blk, 1, r, hd), head,
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), q, k_new, v_new, cache_k, cache_v,
+      cache_ks, cache_vs)
+
+
+def cached_attention_t8(q, k_new, v_new, cache_k, cache_v, cache_ks,
+                        cache_vs, pos, use_pallas: Optional[bool] = None):
+    """Two-part-softmax attention over the int8 lane-major cache.
+
+    Same contract as cached_attention_t, plus f32 scale pools
+    (B, NKV, S). Decode (sq == 1) dispatches to the int8 Pallas kernel;
+    the XLA fallback dequantizes and reuses the oracle path."""
+    b, sq, nq, hd = q.shape
+    nkv, S = cache_k.shape[1], cache_k.shape[3]
+    pos_arr = jnp.asarray(pos)
+    if pos_arr.ndim == 0:
+        pos_arr = jnp.broadcast_to(pos_arr[None], (b,))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sq == 1 and hd % 8 == 0 and S % 128 == 0:
+        qg = q.reshape(b, nkv, nq // nkv, hd)
+        kn = k_new.reshape(b, nkv, 1, hd)
+        vn = v_new.reshape(b, nkv, 1, hd)
+        b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize + 1)
+        out = _decode_attn_bloop8(qg, kn, vn, cache_k, cache_v, cache_ks,
+                                  cache_vs, pos_arr, b_blk=b_blk,
+                                  interpret=not use_pallas)
+        return out.reshape(b, 1, nq, hd)
+    kf = dequantize_kv(cache_k, cache_ks).astype(jnp.bfloat16)
+    vf = dequantize_kv(cache_v, cache_vs).astype(jnp.bfloat16)
+    return cached_attention_t(q, k_new, v_new, kf, vf, pos,
+                              use_pallas=use_pallas)
+
+
+def decode_attention_update8(q, k_new, v_new, cache_k, cache_v, cache_ks,
+                             cache_vs, pos,
+                             use_pallas: Optional[bool] = None):
+    """int8 sibling of decode_attention_update: attention + quantized
+    in-place cache update in ONE kernel call. Returns
+    (out, k_pool, v_pool, ks_pool, vs_pool)."""
+    b, sq, nq, hd = q.shape
+    nkv, S = cache_k.shape[1], cache_k.shape[3]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if sq == 1 and hd % 8 == 0 and S % 128 == 0 and \
+            os.environ.get("ACCESSORY_FUSED_ATTN_WRITE", "1") == "1":
+        qg = q.reshape(b, nkv, nq // nkv, hd)
+        kn = k_new.reshape(b, nkv, 1, hd)
+        vn = v_new.reshape(b, nkv, 1, hd)
+        pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
+        b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize + 1)
+        out, wk, wv, wks, wvs = _decode_attn_bloop_w8(
+            qg, kn, vn, cache_k, cache_v, cache_ks, cache_vs, pos_arr, pos,
+            b_blk=b_blk, interpret=not use_pallas)
+        return out.reshape(b, 1, nq, hd), wk, wv, wks, wvs
+    out = cached_attention_t8(q, k_new, v_new, cache_k, cache_v, cache_ks,
+                              cache_vs, pos, use_pallas=use_pallas)
+    wk, wv, wks, wvs = write_kv_layer8(cache_k, cache_v, cache_ks, cache_vs,
+                                       k_new, v_new, pos)
+    return out, wk, wv, wks, wvs
+
+
+def _col_write_kernel4_q8(pos_ref, updk_ref, updv_ref, updks_ref, updvs_ref,
+                          ck_ref, cv_ref, cks_ref, cvs_ref,
+                          outk_ref, outv_ref, outks_ref, outvs_ref):
+    """Per-layer int8 column write: masked RMW of the 128-lane tile holding
+    ``pos`` in all FOUR pools (int8 k/v + f32 scales) in ONE call —
+    separate aliased calls make XLA memory-space assignment round-trip the
+    later pools through alternate memory (see _col_write_kernel)."""
+    col = jax.lax.rem(pos_ref[0], 128)
+    for upd_ref, blk_ref, out_ref in ((updk_ref, ck_ref, outk_ref),
+                                      (updv_ref, cv_ref, outv_ref)):
+        blk = blk_ref[...].astype(jnp.float32)
+        mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 3) == col
+        out_ref[...] = jnp.where(mask, upd_ref[...].astype(jnp.float32),
+                                 blk).astype(jnp.int8)
+    for upd_ref, blk_ref, out_ref in ((updks_ref, cks_ref, outks_ref),
+                                      (updvs_ref, cvs_ref, outvs_ref)):
+        blk = blk_ref[...]
+        mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2) == col
+        out_ref[...] = jnp.where(mask, upd_ref[...], blk)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_col_layer_q8(cache_k, cache_v, cache_ks, cache_vs,
+                        upd_k, upd_v, upd_ks, upd_vs, pos, interpret=False):
+    B, NKV, HD, S = cache_k.shape
+    nb = _pick_nkv_blk(B, NKV, HD, cache_k.dtype.itemsize + 1)
+    tile = lambda n, scal: (0, n, 0, scal[0] // 128)
+    stile = lambda n, scal: (0, n, scal[0] // 128)
+    upd_spec = pl.BlockSpec((B, nb, HD, 1), lambda n, scal: (0, n, 0, 0),
+                            memory_space=pltpu.VMEM)
+    supd_spec = pl.BlockSpec((B, nb, 1), lambda n, scal: (0, n, 0),
+                             memory_space=pltpu.VMEM)
+    pool_spec = pl.BlockSpec((B, nb, HD, 128), tile,
+                             memory_space=pltpu.VMEM)
+    spool_spec = pl.BlockSpec((B, nb, 128), stile,
+                              memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    sshape = jax.ShapeDtypeStruct(cache_ks.shape, cache_ks.dtype)
+    return pl.pallas_call(
+        _col_write_kernel4_q8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NKV // nb,),
+            in_specs=[upd_spec, upd_spec, supd_spec, supd_spec,
+                      pool_spec, pool_spec, spool_spec, spool_spec],
+            out_specs=[pool_spec, pool_spec, spool_spec, spool_spec],
+        ),
+        out_shape=[shape, shape, sshape, sshape],
+        # inputs: (scalars, updk, updv, updks, updvs, ck, cv, cks, cvs)
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=interpret,
+    )(jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      upd_k, upd_v, upd_ks, upd_vs, cache_k, cache_v, cache_ks, cache_vs)
+
+
+def _write_kernel4_q8(pos_ref, updk_ref, updv_ref, updks_ref, updvs_ref,
+                      ck_ref, cv_ref, cks_ref, cvs_ref,
+                      outk_ref, outv_ref, outks_ref, outvs_ref,
+                      semk, semv, semks, semvs):
+    """Aliased slab DMA of a quantized chunk into all four per-layer pools
+    (prefill path; pos statically 128-aligned — see _write_kernel4)."""
+    pos = pl.multiple_of(pos_ref[0], 128)
+    sq = updk_ref.shape[-1]
+    copies = [
+        pltpu.make_async_copy(updk_ref,
+                              outk_ref.at[:, :, :, pl.ds(pos, sq)], semk),
+        pltpu.make_async_copy(updv_ref,
+                              outv_ref.at[:, :, :, pl.ds(pos, sq)], semv),
+        pltpu.make_async_copy(updks_ref,
+                              outks_ref.at[:, :, pl.ds(pos, sq)], semks),
+        pltpu.make_async_copy(updvs_ref,
+                              outvs_ref.at[:, :, pl.ds(pos, sq)], semvs),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _write_slab_layer_q8(cache_k, cache_v, cache_ks, cache_vs,
+                         upd_k, upd_v, upd_ks, upd_vs, pos, interpret=False):
+    shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    sshape = jax.ShapeDtypeStruct(cache_ks.shape, cache_ks.dtype)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    return pl.pallas_call(
+        _write_kernel4_q8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(),
+            in_specs=[any_spec] * 8,
+            out_specs=[any_spec] * 4,
+            scratch_shapes=[pltpu.SemaphoreType.DMA] * 4,
+        ),
+        out_shape=[shape, shape, sshape, sshape],
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(jnp.asarray([pos], jnp.int32),
+      upd_k, upd_v, upd_ks, upd_vs, cache_k, cache_v, cache_ks, cache_vs)
+
+
+def write_kv_layer8(cache_k, cache_v, cache_ks, cache_vs, new_k, new_v, pos,
+                    use_pallas: Optional[bool] = None):
+    """Quantize a chunk and write it into the per-layer int8 pools.
+
+    cache_k/v: (B, NKV, HD, S) int8; cache_ks/vs: (B, NKV, S) f32;
+    new_k/v: (B, sq, NKV, HD) float; pos: scalar start. Returns the four
+    updated pools. Same dispatch rules as write_kv_layer."""
+    sq = new_k.shape[1]
+    qk, sk = quantize_kv_chunk(new_k)
+    qv, sv = quantize_kv_chunk(new_v)
+    upd_k = qk.transpose(0, 2, 3, 1)                     # (B, NKV, HD, sq)
+    upd_v = qv.transpose(0, 2, 3, 1)
+    upd_ks = sk.transpose(0, 2, 1)                       # (B, NKV, sq)
+    upd_vs = sv.transpose(0, 2, 1)
+    interp = jax.default_backend() != "tpu"
+    pos_aligned = isinstance(pos, (int,)) and pos % 128 == 0
+    if use_pallas is None:
+        use_pallas = not interp and (sq == 1 or (sq % 128 == 0
+                                                 and pos_aligned))
+        if os.environ.get("ACCESSORY_KV_WRITE") == "dus":
+            use_pallas = False
+    if use_pallas and sq == 1:
+        if cache_k.shape[3] % 128 == 0:
+            return _write_col_layer_q8(cache_k, cache_v, cache_ks, cache_vs,
+                                       upd_k, upd_v, upd_ks, upd_vs, pos,
+                                       interpret=interp)
+    elif use_pallas:
+        return _write_slab_layer_q8(cache_k, cache_v, cache_ks, cache_vs,
+                                    upd_k, upd_v, upd_ks, upd_vs, pos,
+                                    interpret=interp)
+    return (jax.lax.dynamic_update_slice(cache_k, upd_k, (0, 0, 0, pos)),
+            jax.lax.dynamic_update_slice(cache_v, upd_v, (0, 0, 0, pos)),
+            jax.lax.dynamic_update_slice(cache_ks, upd_ks, (0, 0, pos)),
+            jax.lax.dynamic_update_slice(cache_vs, upd_vs, (0, 0, pos)))
+
+
+def write_kv_t8(cache_k, cache_v, cache_ks, cache_vs, new_k, new_v, pos,
+                use_pallas: Optional[bool] = None):
+    """Stacked (L-leading) variant of write_kv_layer8 for the scan decode
+    path. cache_k/v: (L, B, NKV, HD, S) int8; cache_ks/vs: (L, B, NKV, S);
+    new_k/v: (L, B, sq, NKV, HD)."""
+    qk, sk = quantize_kv_chunk(new_k)
+    qv, sv = quantize_kv_chunk(new_v)
+    upd_k = qk.transpose(0, 1, 3, 4, 2)
+    upd_v = qv.transpose(0, 1, 3, 4, 2)
+    upd_ks = sk.transpose(0, 1, 3, 2)
+    upd_vs = sv.transpose(0, 1, 3, 2)
+    # the stacked path is scan-sliced anyway (no Pallas fusion possible —
+    # BENCHMARKS.md round 2), so plain DUS writes are the honest option
+    idx5, idx4 = (0, 0, 0, 0, pos), (0, 0, 0, pos)
+    return (jax.lax.dynamic_update_slice(cache_k, upd_k, idx5),
+            jax.lax.dynamic_update_slice(cache_v, upd_v, idx5),
+            jax.lax.dynamic_update_slice(cache_ks, upd_ks, idx4),
+            jax.lax.dynamic_update_slice(cache_vs, upd_vs, idx4))
 
 
 def write_kv_t(cache_k, cache_v, new_k, new_v, pos,

@@ -31,28 +31,37 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
 
 def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
                      eps: float = 1e-5,
-                     residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     residual: Optional[jnp.ndarray] = None,
+                     rope: Optional[tuple] = None) -> jnp.ndarray:
     """``residual + module_linear(rms_norm(x), mod)`` with the norm and the
     add folded into the quant kernel when the weight is planes-W4 (decode is
     kernel-launch-bound; each fold removes an XLA elementwise launch —
     BENCHMARKS.md round 2). Falls back to the unfused ops elsewhere; both
     paths are bit-identical by construction (same op order and dtypes).
+
+    ``rope``: (cos_row, sin_row, style, head_dim) decode-RoPE epilogue for
+    the fused wqkv projection (ops.rope.rope_rows builds the rows); folded
+    into the planes kernel, applied via apply_rope_flat elsewhere.
     """
     from accessory_tpu.ops.norms import rms_norm
+    from accessory_tpu.ops.rope import apply_rope_flat
     from accessory_tpu.quant.qtensor import QuantizedWeight, quant_matmul
 
     w = mod.get("weight")
     fusible = (
-        isinstance(w, QuantizedWeight) and w.layout == "planes"
+        isinstance(w, QuantizedWeight) and w.layout in ("planes", "w8")
         and "lora_a" not in mod and mod.get("bias") is None
         and x.shape[-1] == w.in_dim
         and (norm is None or w.in_dim == w.tile_k))
     if fusible:
         return quant_matmul(
             x, w, norm_weight=None if norm is None else norm["weight"],
-            norm_eps=eps, residual=residual)
+            norm_eps=eps, residual=residual, rope=rope)
     xn = x if norm is None else rms_norm(x, norm["weight"], eps)
     y = module_linear(xn, mod)
+    if rope is not None:
+        cos_row, sin_row, style, hd = rope
+        y = apply_rope_flat(y, cos_row, sin_row, style, hd)
     return y if residual is None else residual + y
 
 

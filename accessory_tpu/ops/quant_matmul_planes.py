@@ -51,6 +51,27 @@ from jax.experimental.pallas import tpu as pltpu
 _NIBBLE_MASK = 0x0F0F0F0F
 
 
+def rotate_lanes(acc, cos_row, sin_row, rope_style: str, rope_hd: int):
+    """Fused decode-RoPE epilogue (shared by the W4 planes and W8 kernels):
+    rotate each lane of ``acc`` (TM, TN) with its pair partner using
+    position-baked per-column rows (cos_row; sign-folded sin_row, zeroed on
+    non-rotated columns — see ops.rope.rope_rows). Pairing is periodic in
+    rope_hd, which divides TN and head boundaries are tile-aligned, so the
+    lane roll stays within the block and wrapped lanes are never selected
+    by the mask."""
+    tm_, tn_ = acc.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm_, tn_), 1)
+    if rope_style == "interleaved":
+        shift, first = 1, (lane % 2) == 0
+    else:  # "half" (neox)
+        shift = rope_hd // 2
+        first = (lane % rope_hd) < shift
+    # pltpu.roll needs non-negative shifts: -shift ≡ tn - shift
+    partner = jnp.where(first, pltpu.roll(acc, tn_ - shift, 1),
+                        pltpu.roll(acc, shift, 1))
+    return acc * cos_row + partner * sin_row
+
+
 def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
     """Std little-endian packing (qtensor.pack_int) -> per-tile nibble-plane
     order. Host-side numpy, fully vectorized, one-time at load."""
@@ -72,10 +93,13 @@ def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
 def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
             group_size: int, tk: int, precise: bool,
             norm_eps: float = 0.0, has_norm: bool = False,
-            has_res: bool = False):
+            has_res: bool = False, rope_style: str = "",
+            rope_hd: int = 0):
     rest = list(rest)
     norm_ref = rest.pop(0) if has_norm else None
     res_ref = rest.pop(0) if has_res else None
+    cos_ref = rest.pop(0) if rope_style else None
+    sin_ref = rest.pop(0) if rope_style else None
     out_ref, acc_ref = rest
 
     k_idx = pl.program_id(2)
@@ -141,7 +165,11 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
 
     @pl.when(k_idx == nk - 1)
     def _emit():
-        out = acc_ref[:].astype(out_ref.dtype)
+        acc = acc_ref[:]
+        if rope_style:
+            acc = rotate_lanes(acc, cos_ref[:], sin_ref[:], rope_style,
+                               rope_hd)
+        out = acc.astype(out_ref.dtype)
         if has_res:
             # fused residual-add epilogue; cast-then-add matches the
             # unfused ``h + module_linear(...)`` bit-for-bit
@@ -150,10 +178,13 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "tk", "precise",
-                                             "norm_eps", "interpret"))
+                                             "norm_eps", "rope_style",
+                                             "rope_hd", "interpret"))
 def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
-               residual=None, *, group_size: int, tk: int,
+               residual=None, rope_cos=None, rope_sin=None, *,
+               group_size: int, tk: int,
                precise: bool = True, norm_eps: float = 1e-5,
+               rope_style: str = "", rope_hd: int = 0,
                interpret: bool = False):
     """x2d (M, K) @ plane-packed W4 -> (M, N).
 
@@ -166,13 +197,30 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
       norm_weight (K,): RMSNorm prologue ``rms_norm(x) @ W`` — requires
         K == tk so each program holds the whole reduction row.
       residual (M, N): epilogue ``residual + (x @ W)``.
+      rope_cos/rope_sin (N,): decode-RoPE epilogue for the fused wqkv
+        projection — one shared position for all rows (decode step).
+        Rows come from ops.rope.rope_rows (sin sign-folded, v columns
+        cos=1/sin=0). Requires rope_hd | TN (true for hd in {64, 128}).
     """
     m, k = x2d.shape
     n = packed_planes.shape[1]
     assert k % tk == 0 and (tk // 2) % group_size == 0, (k, tk, group_size)
     assert norm_weight is None or k == tk, "norm fusion needs K == tk"
+    assert (rope_cos is None) == (not rope_style)
     tm = 128 if m >= 128 else max(8, 1 << (m - 1).bit_length())
-    tn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+    # out dims below the 128-lane tile (tiny-model kv projections) zero-pad
+    # N — an unpadded 64-wide output would get ZERO j-programs and an
+    # uninitialized (NaN) output buffer
+    pad_n = (-n) % 128
+    if pad_n:
+        assert not rope_style, "rope fusion requires 128-aligned heads"
+        packed_planes = jnp.pad(packed_planes, ((0, 0), (0, pad_n)))
+        scales = jnp.pad(scales, ((0, 0), (0, pad_n)))
+        zs = jnp.pad(zs, ((0, 0), (0, pad_n)))
+        if residual is not None:
+            residual = jnp.pad(residual, ((0, 0), (0, pad_n)))
+    npad = n + pad_n
+    tn = 512 if npad % 512 == 0 else (256 if npad % 256 == 0 else 128)
     pad_m = (-m) % tm
     if pad_m:
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
@@ -183,7 +231,7 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
         zs = jnp.pad(zs, ((0, pad_g), (0, 0)))
 
-    grid = (x2d.shape[0] // tm, n // tn, k // tk)
+    grid = (x2d.shape[0] // tm, npad // tn, k // tk)
     in_specs = [
         pl.BlockSpec((tm, tk), lambda i, j, kk: (i, kk),
                      memory_space=pltpu.VMEM),
@@ -204,16 +252,23 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         in_specs.append(pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
                                      memory_space=pltpu.VMEM))
         operands.append(residual.astype(x2d.dtype))
+    if rope_style:
+        assert tn % rope_hd == 0, (tn, rope_hd)
+        for row in (rope_cos, rope_sin):
+            in_specs.append(pl.BlockSpec((1, tn), lambda i, j, kk: (0, j),
+                                         memory_space=pltpu.VMEM))
+            operands.append(row.astype(jnp.float32).reshape(1, n))
     out = pl.pallas_call(
         functools.partial(_kernel, group_size=group_size, tk=tk,
                           precise=precise, norm_eps=norm_eps,
                           has_norm=norm_weight is not None,
-                          has_res=residual is not None),
+                          has_res=residual is not None,
+                          rope_style=rope_style, rope_hd=rope_hd),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x2d.shape[0], n), x2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((x2d.shape[0], npad), x2d.dtype),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * x2d.shape[0] * k * n,
@@ -223,7 +278,7 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         ),
         interpret=interpret,
     )(*operands)
-    return out[:m] if pad_m else out
+    return out[:m, :n] if (pad_m or pad_n) else out
 
 
 def choose_tile_k(in_dim: int, group_size: int, max_tk: int = 2048) -> int:

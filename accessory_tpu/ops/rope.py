@@ -71,3 +71,55 @@ def apply_rope(
     else:
         raise ValueError(f"unknown rope style: {style}")
     return out.astype(dtype)
+
+
+def rope_rows(cos: jnp.ndarray, sin: jnp.ndarray, n_rot_heads: int,
+              n_pass_heads: int, head_dim: int, style: str):
+    """Per-column (cos_row, sin_row) for applying decode-RoPE directly on a
+    flat fused-projection output (..., (n_rot+n_pass)*head_dim).
+
+    cos/sin: (head_dim//2,) for ONE position (decode step; all rows share
+    it). The rotation out[j] = y[j]*cos_row[j] + partner(y)[j]*sin_row[j]
+    needs sin's sign folded per column (the first element of each pair
+    subtracts its partner), and pass-through columns (the fused v
+    projection) get cos=1, sin=0. Consumed by the planes-kernel epilogue
+    (ops.quant_matmul_planes) and the XLA fallback apply_rope_flat."""
+    hd = head_dim
+    if style == "interleaved":
+        c = jnp.repeat(cos, 2)
+        s = jnp.repeat(sin, 2)
+        sign = jnp.tile(jnp.asarray([-1.0, 1.0], jnp.float32), hd // 2)
+    elif style == "half":
+        c = jnp.tile(cos, 2)
+        s = jnp.tile(sin, 2)
+        sign = jnp.concatenate([jnp.full((hd // 2,), -1.0, jnp.float32),
+                                jnp.ones((hd // 2,), jnp.float32)])
+    else:
+        raise ValueError(f"unknown rope style: {style}")
+    cos_row = jnp.concatenate(
+        [jnp.tile(c, n_rot_heads), jnp.ones((n_pass_heads * hd,))])
+    sin_row = jnp.concatenate(
+        [jnp.tile(s * sign, n_rot_heads), jnp.zeros((n_pass_heads * hd,))])
+    return cos_row.astype(jnp.float32), sin_row.astype(jnp.float32)
+
+
+def apply_rope_flat(y: jnp.ndarray, cos_row: jnp.ndarray,
+                    sin_row: jnp.ndarray, style: str,
+                    head_dim: int) -> jnp.ndarray:
+    """XLA oracle/fallback for the fused flat-RoPE epilogue: rotate
+    y (..., N) columnwise with rope_rows outputs. Bitwise-equivalent math
+    to the kernel epilogue (f32 rotate, cast back)."""
+    dtype = y.dtype
+    yf = y.astype(jnp.float32)
+    if style == "interleaved":
+        yr = yf.reshape(*yf.shape[:-1], -1, 2)
+        partner = jnp.stack([yr[..., 1], yr[..., 0]],
+                            axis=-1).reshape(yf.shape)
+    elif style == "half":
+        half = head_dim // 2
+        yr = yf.reshape(*yf.shape[:-1], -1, head_dim)
+        partner = jnp.concatenate([yr[..., half:], yr[..., :half]],
+                                  axis=-1).reshape(yf.shape)
+    else:
+        raise ValueError(f"unknown rope style: {style}")
+    return (yf * cos_row + partner * sin_row).astype(dtype)

@@ -214,6 +214,33 @@ def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight
         layout="planes", tile_k=tk)
 
 
+def to_w8_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight:
+    """Repack a std-layout W8 QuantizedWeight for the int8 W8A16 kernel
+    (ops/quant_matmul_w8.py). packed becomes (K, N) int8 rows (values
+    q - 128 so the [0, 255] grid fits int8); zeros are folded to
+    (zeros - 128) * scales so the kernel epilogue is q8*s - zs.
+
+    Reference role: bitsandbytes ``Linear8bitLt`` serving/QPEFT layout
+    (accessory/util/quant.py:18-93)."""
+    from accessory_tpu.ops.quant_matmul_w8 import (choose_tile_k_w8,
+                                                   repack_for_w8)
+
+    assert qw.layout == "std" and qw.bits == 8
+    tk = choose_tile_k_w8(qw.in_dim, qw.group_size, max_tk)
+    if qw.packed.ndim == 3:  # stacked layers
+        L = qw.packed.shape[0]
+        pm = jnp.stack([repack_for_w8(qw.packed[i], qw.in_dim)
+                        for i in range(L)])
+    else:
+        pm = repack_for_w8(qw.packed, qw.in_dim)
+    s = qw.scales.astype(jnp.float32)
+    zs = (qw.zeros.astype(jnp.float32) - 128.0) * s
+    return QuantizedWeight(
+        packed=pm, scales=s, zeros=zs, bits=8, group_size=qw.group_size,
+        in_dim=qw.in_dim, out_dim=qw.out_dim, act_dtype=qw.act_dtype,
+        layout="w8", tile_k=tk)
+
+
 def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
     """XLA reference dequant → (in_dim, out_dim) dense weight (std layout)."""
     assert qw.layout == "std", "dequantize magic-layout via the kernel"
@@ -228,7 +255,8 @@ def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
 def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool] = None,
                  norm_weight: Optional[jnp.ndarray] = None,
                  norm_eps: float = 1e-5,
-                 residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 residual: Optional[jnp.ndarray] = None,
+                 rope: Optional[tuple] = None) -> jnp.ndarray:
     """x @ dequant(qw). Dispatches to the fused Pallas kernel on TPU.
 
     The XLA path dequantizes per-call; XLA fuses unpack+scale into the matmul
@@ -251,14 +279,36 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
         x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
         res2d = (None if residual is None
                  else residual.reshape(-1, qw.out_dim))
+        # rope: (cos_row (N,), sin_row (N,), style, head_dim) — decode
+        # RoPE epilogue (ops.rope.rope_rows)
+        rope_cos, rope_sin, rope_style, rope_hd = (
+            rope if rope is not None else (None, None, "", 0))
         out = planes_qmm(x2d, qw.packed, qw.scales, qw.zeros,
-                         norm_weight, res2d,
+                         norm_weight, res2d, rope_cos, rope_sin,
                          group_size=qw.group_size, tk=qw.tile_k,
-                         norm_eps=norm_eps,
+                         norm_eps=norm_eps, rope_style=rope_style,
+                         rope_hd=rope_hd,
                          interpret=jax.default_backend() != "tpu")
         return out.reshape(*lead, qw.out_dim)
-    assert norm_weight is None and residual is None, \
-        "norm/residual fusion is planes-layout only"
+
+    if qw.layout == "w8":
+        from accessory_tpu.ops.quant_matmul_w8 import w8_qmm
+
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
+        res2d = (None if residual is None
+                 else residual.reshape(-1, qw.out_dim))
+        rope_cos, rope_sin, rope_style, rope_hd = (
+            rope if rope is not None else (None, None, "", 0))
+        out = w8_qmm(x2d, qw.packed, qw.scales, qw.zeros,
+                     norm_weight, res2d, rope_cos, rope_sin,
+                     group_size=qw.group_size, tk=qw.tile_k,
+                     norm_eps=norm_eps, rope_style=rope_style,
+                     rope_hd=rope_hd,
+                     interpret=jax.default_backend() != "tpu")
+        return out.reshape(*lead, qw.out_dim)
+    assert norm_weight is None and residual is None and rope is None, \
+        "norm/residual/rope fusion is planes/w8-layout only"
 
     if qw.layout == "magic":
         from accessory_tpu.ops.quant_matmul_magic import magic_qmm

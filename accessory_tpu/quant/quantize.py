@@ -52,20 +52,26 @@ def quantize_params(
     axis 0), floating dtype, in_dim divisible by group_size, path not in
     blocklist.
 
-    ``layout``: "std" | "planes" | "auto" (planes on TPU for W4 — the
-    int8-staged kernel layout, ops/quant_matmul_planes.py; std elsewhere,
-    where the XLA fallback / interpret mode serves).
+    ``layout``: "std" | "planes" | "w8" | "auto" (on TPU: planes for W4 —
+    the int8-staged kernel layout, ops/quant_matmul_planes.py — and w8 for
+    W8A16, ops/quant_matmul_w8.py; std elsewhere, where the XLA fallback /
+    interpret mode serves).
     """
     if layout == "auto":
-        layout = ("planes" if bits == 4 and jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
+        layout = ("planes" if bits == 4 and on_tpu
+                  else "w8" if bits == 8 and on_tpu
                   else "std")
     block = tuple(blocklist) + (() if quantize_output else ("output",))
 
     def maybe_planes(qw):
-        if layout != "planes":
-            return qw
-        from accessory_tpu.quant.qtensor import to_planes_layout
-        return to_planes_layout(qw)
+        if layout == "planes":
+            from accessory_tpu.quant.qtensor import to_planes_layout
+            return to_planes_layout(qw)
+        if layout == "w8":
+            from accessory_tpu.quant.qtensor import to_w8_layout
+            return to_w8_layout(qw)
+        return qw
 
     def visit(path, leaf):
         if not isinstance(leaf, jnp.ndarray) and not hasattr(leaf, "dtype"):

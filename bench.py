@@ -29,8 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # persistent compile cache: remote compiles through the relay cost minutes;
-# cached reloads are seconds (same flag the test/bench sessions set via env)
-if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+# cached reloads are seconds. TPU-only — CPU AOT entries bake in host CPU
+# features and this container migrates between hosts (stale entries can
+# SIGILL/SIGSEGV on load).
+if (not os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        and os.environ.get("JAX_PLATFORMS", "").strip().lower() != "cpu"):
     jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
 
 # v5e (TPU v5 lite): ~819 GB/s HBM bandwidth per chip (measured streaming
@@ -121,12 +124,17 @@ def main() -> None:
     unstack = os.environ.get("BENCH_UNSTACK", "1") == "1"
     if unstack:
         params = llama.unstack_layers(params)
+    # BENCH_KV_DTYPE=int8: quantized KV pools (int8 values + f32 per-token
+    # scales) — halves KV read traffic, and the roofline denominator
+    # shrinks with it (bytes actually touched)
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE")
     cache = llama.init_kv_cache(args, BATCH, max_len=CACHE_LEN,
-                                stacked=not unstack)
+                                stacked=not unstack, kv_dtype=kv_dtype)
 
     weight_bytes = leaf_bytes(params)
-    kv_bytes_per_tok = (args.n_layers * CACHE_LEN * args.kv_heads
-                        * args.head_dim * 2 * 2)
+    kv_elt = 1 + 4 / args.head_dim if kv_dtype == "int8" else 2
+    kv_bytes_per_tok = int(args.n_layers * CACHE_LEN * args.kv_heads
+                           * args.head_dim * kv_elt * 2)
     roofline_tok_s = HBM_BW / (weight_bytes / BATCH + kv_bytes_per_tok)
 
     step = jax.jit(

@@ -104,7 +104,8 @@ def synthetic_quantized_params(init_fn, key, group_size=128):
     return jax.tree_util.tree_map_with_path(visit, shapes)
 
 
-def bench_llama_decode(name, args_kw, batch=8, cache_len=1024):
+def bench_llama_decode(name, args_kw, batch=8, cache_len=1024,
+                       kv_dtype=None):
     from accessory_tpu.config import LLaMAArgs
     from accessory_tpu.models import llama
 
@@ -121,15 +122,20 @@ def bench_llama_decode(name, args_kw, batch=8, cache_len=1024):
     params = fuse_for_decode(params)
     params = llama.unstack_layers(params)
     cache = llama.init_kv_cache(args, batch, max_len=cache_len,
-                                stacked=False)
+                                stacked=False, kv_dtype=kv_dtype)
     step = jax.jit(lambda p, t, c, pos: llama.forward(
         p, args, t, cache=c, cur_pos=pos), donate_argnums=(2,))
     dt = timed_steps(step, params, jnp.ones((batch, 1), jnp.int32), cache)
     wb = weight_bytes(params)
-    kv = args.n_layers * cache_len * args.kv_heads * args.head_dim * 4
+    # KV bytes actually touched per step (read ctx + write 1): int8 pools
+    # halve them (plus one f32 scale per head-vector)
+    kv_elt = 1 + 4 / args.head_dim if kv_dtype == "int8" else 2
+    kv = int(args.n_layers * cache_len * args.kv_heads * args.head_dim
+             * kv_elt * 2)
     roof = HBM_BW / (wb / batch + kv)
+    tag = " kv-int8" if kv_dtype == "int8" else ""
     print(json.dumps({
-        "metric": f"decode tok/s/chip {name} W4A16 bs{batch}",
+        "metric": f"decode tok/s/chip {name} W4A16{tag} bs{batch}",
         "value": round(batch / dt, 1), "unit": "tok/s",
         "vs_baseline": round(batch / dt / roof, 4)}), flush=True)
 
@@ -319,7 +325,7 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
-                             "sched", "longctx"])
+                             "sched", "longctx", "kv8", "kv8-longctx"])
     a = ap.parse_args()
     if a.only == "sched":
         bench_scheduler()
@@ -346,3 +352,14 @@ if __name__ == "__main__":
                            dict(dim=2048, n_layers=22, n_heads=32,
                                 n_kv_heads=4, vocab_size=32000,
                                 multiple_of=256), cache_len=4096)
+    if a.only == "kv8":
+        bench_llama_decode("TinyLlama-1.1B",
+                           dict(dim=2048, n_layers=22, n_heads=32,
+                                n_kv_heads=4, vocab_size=32000,
+                                multiple_of=256), kv_dtype="int8")
+    if a.only == "kv8-longctx":
+        bench_llama_decode("TinyLlama-1.1B 4k-ctx",
+                           dict(dim=2048, n_layers=22, n_heads=32,
+                                n_kv_heads=4, vocab_size=32000,
+                                multiple_of=256), cache_len=4096,
+                           kv_dtype="int8")

@@ -1,0 +1,77 @@
+"""On-chip verify: int8 KV decode + fused rope epilogue vs bf16/XLA oracle.
+
+Drives a tiny llama through prefill + decode on the real TPU in three
+configs (bf16 cache, int8 cache, int8 + paged) and checks logits stay
+close to the bf16 baseline. Small shapes -> fast compiles.
+"""
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from accessory_tpu.config import LLaMAArgs
+from accessory_tpu.models import llama
+
+print("backend:", jax.default_backend(), flush=True)
+
+args = LLaMAArgs(dim=256, n_layers=2, n_heads=8, n_kv_heads=4,
+                 vocab_size=512, max_seq_len=256)
+params = llama.init_params(jax.random.key(0), args)
+uparams = llama.unstack_layers(params)
+toks = jax.random.randint(jax.random.key(1), (2, 8), 0, 512)
+
+
+def run(kv_dtype, rope_fuse, n_steps=4):
+    os.environ["ACCESSORY_ROPE_FUSE"] = "1" if rope_fuse else "0"
+    cache = llama.init_kv_cache(args, 2, max_len=256, stacked=False,
+                                kv_dtype=kv_dtype)
+    fwd = jax.jit(
+        lambda p, t, c, pos: llama.forward(p, args, t, cache=c, cur_pos=pos),
+        static_argnames=(), donate_argnums=(2,))
+    logits, cache = fwd(uparams, toks, cache, 0)
+    outs = [np.asarray(logits[:, -1])]
+    tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+    for i in range(n_steps):
+        logits, cache = fwd(uparams, tok, cache, 8 + i)
+        outs.append(np.asarray(logits[:, 0]))
+        tok = jnp.argmax(logits[:, 0], -1)[:, None].astype(jnp.int32)
+    return np.stack(outs)
+
+
+base = run(None, rope_fuse=False)
+fused = run(None, rope_fuse=True)
+i8 = run("int8", rope_fuse=True)
+i8_nf = run("int8", rope_fuse=False)
+
+d_rope = np.max(np.abs(base - fused))
+d_i8 = np.max(np.abs(base - i8))
+d_i8n = np.max(np.abs(base - i8_nf))
+print(f"rope-fuse max|d|={d_rope:.4f}  int8 max|d|={d_i8:.4f}  "
+      f"int8-nofuse max|d|={d_i8n:.4f}", flush=True)
+assert d_rope < 0.05, d_rope        # same math, kernel vs XLA rounding
+assert d_i8 < 0.35, d_i8            # int8 KV quantization error, tiny model
+assert d_i8n < 0.35, d_i8n
+
+# paged int8 path (scheduler-style): prefill into pools + decode
+pc = llama.init_paged_cache(args, slots=2, total_pages=8, page_size=64,
+                            kv_dtype="int8")
+pfwd = jax.jit(
+    lambda p, t, c, lens: llama.forward_paged(p, args, t, c, lens),
+    donate_argnums=(2,))
+lens = jnp.zeros((2,), jnp.int32)
+logits, pc = pfwd(uparams, toks, pc, lens)
+lens = lens + 8
+pl0 = np.asarray(logits[:, -1])
+for i in range(3):
+    tok = jnp.argmax(logits[:, -1] if logits.shape[1] > 1 else logits[:, 0],
+                     -1)[:, None].astype(jnp.int32)
+    logits, pc = pfwd(uparams, tok, pc, lens)
+    lens = lens + 1
+d_paged = np.max(np.abs(pl0 - i8[0]))
+print(f"paged-int8 prefill max|d| vs unrolled-int8: {d_paged:.4f}",
+      flush=True)
+assert d_paged < 0.35, d_paged
+print("VERIFY OK: int8 KV + rope fuse + paged int8 on", jax.default_backend())

@@ -165,3 +165,22 @@ def test_module_linear_nr_fallbacks():
     want = res + module_linear(rms_norm(x, g, 1e-5), mod)
     got = module_linear_nr(x, mod, norm={"weight": g}, residual=res)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_planes_out_dim_below_lane_tile():
+    """out_dim < 128 (tiny-model kv projections) pads N instead of
+    silently emitting zero j-programs (uninitialized output)."""
+    import numpy as np
+
+    from accessory_tpu.quant.qtensor import (dequantize_weight,
+                                             quant_matmul, quantize_weight,
+                                             to_planes_layout)
+
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.standard_normal((256, 64)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 256)), jnp.float32)
+    qw = quantize_weight(w, bits=4, group_size=64, act_dtype=jnp.float32)
+    got = quant_matmul(x, to_planes_layout(qw))
+    want = x @ dequantize_weight(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
