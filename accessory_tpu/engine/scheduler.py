@@ -86,13 +86,22 @@ class ContinuousBatcher:
                  page_size: int = 64, pages_per_seq: Optional[int] = None,
                  total_pages: Optional[int] = None, seed: int = 0,
                  stop_symbols: Iterable[str] = (), decode_steps: int = 1,
-                 kv_dtype: Optional[str] = None):
+                 kv_dtype: Optional[str] = None,
+                 prefill_chunk: Optional[int] = None):
         # decode_steps > 1 = multi-step scheduling (vLLM num_scheduler_steps
         # role): each dispatch decodes n tokens per slot with on-device
         # sampling before the host fetch. Amortizes host<->device latency
         # (~30 ms/fetch through the axon relay vs ~2 ms device step); costs
         # up to n-1 wasted tokens per request past a stop sequence.
         self.decode_steps = max(1, int(decode_steps))
+        # prefill_chunk: admit long prompts as fixed-size continuation
+        # chunks (vLLM chunked-prefill role) — bounds the prefill
+        # dispatch latency spike a long prompt injects between decode
+        # steps, and caps prefill compile shapes at one per chunk count.
+        self.prefill_chunk = (int(prefill_chunk) if prefill_chunk
+                              and getattr(module,
+                                          "SUPPORTS_CHUNKED_PREFILL", False)
+                              else None)
         # decode-optimized weight layout (see engine.generate.Generator):
         # scan-sliced weights can't fuse into Pallas calls
         import os as _os
@@ -183,6 +192,28 @@ class ContinuousBatcher:
                                                         sub)
                 last = jnp.take_along_axis(
                     logits, (plens - 1)[:, None, None], axis=1)[:, 0]
+                nxt = sample_token_batched(last, k, temps, topps)
+                return nxt, sub
+
+            self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(2,))
+        return self._prefill_cache[key]
+
+    def _chunk_prefill_fn(self, g: int, cs: int, active: int):
+        """Continuation-prefill for chunked admission: one chunk of ``cs``
+        tokens per slot at the slot's current length. ``active`` bounds the
+        page gather to the pages already written by earlier chunks. Samples
+        at ``last_off`` within the chunk (the host keeps only the sample
+        from the chunk holding each prompt's final token)."""
+        key = ("chunk", g, cs, active)
+        if key not in self._prefill_cache:
+            from accessory_tpu.ops.sampling import sample_token_batched
+
+            def prefill(p, toks, sub, last_off, k, temps, topps):
+                logits, sub = self.module.forward_paged(
+                    p, self.args, toks, sub, active_pages=active,
+                    continuation=True)
+                last = jnp.take_along_axis(
+                    logits, last_off[:, None, None], axis=1)[:, 0]
                 nxt = sample_token_batched(last, k, temps, topps)
                 return nxt, sub
 
@@ -307,15 +338,39 @@ class ContinuousBatcher:
             self.pcache,
             page_indices=jnp.asarray(rows),
             lengths=jnp.zeros((gp,), jnp.int32))
-        self._key, k = jax.random.split(self._key)
         temps = jnp.asarray([r.temperature for _, r in group]
                             + [1.0] * (gp - g), jnp.float32)
         topps = jnp.asarray([r.top_p for _, r in group]
                             + [1.0] * (gp - g), jnp.float32)
-        nxt, sub = self._prefill_fn(gp, bucket)(
-            self.params, jnp.asarray(toks), sub, jnp.asarray(plens_p), k,
-            temps, topps)
-        nxt = np.asarray(nxt)
+        cs = self.prefill_chunk
+        if cs and bucket > cs:
+            # chunked prefill: fixed-cs continuation dispatches. Every slot
+            # advances lengths by cs per chunk (overshoot past a short
+            # prompt lands in the reserved TRASH page, exactly like the
+            # single-shot bucket overshoot); the host keeps the sample
+            # from the chunk holding each prompt's last token and resets
+            # lengths to the true plens below.
+            n_ch = -(-bucket // cs)
+            toks_pad = np.zeros((gp, n_ch * cs), np.int32)
+            toks_pad[:, :bucket] = toks
+            nxt = np.zeros((gp,), np.int64)
+            for c in range(n_ch):
+                active = max(1, -(-(c * cs) // self.page_size))
+                last_off = np.clip(plens_p - 1 - c * cs, 0, cs - 1)
+                self._key, k = jax.random.split(self._key)
+                nc, sub = self._chunk_prefill_fn(gp, cs, active)(
+                    self.params,
+                    jnp.asarray(toks_pad[:, c * cs:(c + 1) * cs]), sub,
+                    jnp.asarray(last_off, jnp.int32), k, temps, topps)
+                hit = (plens_p - 1) // cs == c
+                if hit.any():
+                    nxt[hit] = np.asarray(nc)[hit]
+        else:
+            self._key, k = jax.random.split(self._key)
+            nxt, sub = self._prefill_fn(gp, bucket)(
+                self.params, jnp.asarray(toks), sub, jnp.asarray(plens_p), k,
+                temps, topps)
+            nxt = np.asarray(nxt)
 
         # adopt the updated pools; set admitted lengths (ALL pool buffers:
         # the prefill donated them, so the old references are deleted)

@@ -49,6 +49,9 @@ Params = Dict[str, Any]
 SUPPORTS_UNROLLED_DECODE = True
 # forward_paged also accepts unstacked layers (ContinuousBatcher uses this)
 SUPPORTS_UNROLLED_PAGED = True
+# forward_paged(continuation=True) continues each slot at its current
+# length — the scheduler's chunked-prefill admission requires it
+SUPPORTS_CHUNKED_PREFILL = True
 # init_kv_cache(kv_dtype="int8") → quantized KV pools (half the KV HBM
 # traffic, 2x context capacity; ops/decode_attention.py int8 kernels)
 SUPPORTS_KV_INT8 = True
@@ -542,13 +545,20 @@ def init_paged_cache(args: LLaMAArgs, slots: int, total_pages: int,
 
 
 def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
-                  active_pages: Optional[int] = None):
+                  active_pages: Optional[int] = None,
+                  continuation: bool = False):
     """Forward against a PagedKVCache (engine/kvcache.py).
 
-    Two modes, mirroring forward_inference's prefill/decode split
+    Three modes, mirroring forward_inference's prefill/decode split
     (llama.py:394-427) but with per-slot positions:
-      * sq > 1 — full prefill from position 0 for every slot (lengths
-        ignored as offsets; chunk self-attention + page writes)
+      * sq > 1 — full prefill from position 0 for every slot (chunk
+        self-attention + page writes)
+      * sq > 1, ``continuation=True`` — CHUNKED prefill: each slot's chunk
+        continues at its current ``pcache.lengths`` offset (per-slot rope
+        positions, two-part attention over the already-cached pages +
+        causal within the chunk, page writes at the offset). With
+        lengths == 0 this is exactly the fresh prefill, so one compiled
+        shape serves every chunk of a long prompt.
       * sq == 1 — one decode token per slot at position pcache.lengths,
         attended via the paged decode kernel
 
@@ -572,6 +582,11 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
         cos = jnp.take(cos_full, pos, axis=0)[:, None, :]  # (b, 1, d/2)
         sin = jnp.take(sin_full, pos, axis=0)[:, None, :]
         start = pos
+    elif continuation:
+        pos2d = pcache.lengths[:, None] + jnp.arange(sq)[None, :]  # (b, sq)
+        cos = jnp.take(cos_full, pos2d, axis=0)  # (b, sq, d/2)
+        sin = jnp.take(sin_full, pos2d, axis=0)
+        start = pcache.lengths
     else:
         cos, sin = cos_full[:sq], sin_full[:sq]
         start = jnp.zeros((b,), jnp.int32)
@@ -598,7 +613,7 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
         q = apply_rope(q, cos, sin, args.rope_style)
         k = apply_rope(k, cos, sin, args.rope_style)
 
-        if decode:
+        if decode or continuation:
             out = paged_cached_attention(
                 q, k, v, kp, vp, old_lengths, page_indices, active_pages,
                 kps, vps)

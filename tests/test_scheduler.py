@@ -153,3 +153,17 @@ def test_multi_step_decode_matches_single_step(model):
                                decode_steps=n)
         outs[n] = cb.run(prompts, max_gen_len=9, temperature=0.0)
     assert outs[1] == outs[4]
+
+
+def test_chunked_prefill_matches_unchunked(model):
+    """prefill_chunk admission (vLLM chunked-prefill role) produces the
+    same greedy text as single-shot prefill admission."""
+    prompts = ["the quick brown fox jumps over the lazy dog again and",
+               "hello"]
+    want = ContinuousBatcher(model.module, model.args, model.params,
+                             model.tokenizer, slots=2, page_size=32,
+                             ).run(prompts, max_gen_len=6)
+    got = ContinuousBatcher(model.module, model.args, model.params,
+                            model.tokenizer, slots=2, page_size=32,
+                            prefill_chunk=4).run(prompts, max_gen_len=6)
+    assert got == want
