@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,22 +103,39 @@ class PagePool:
         assert total_pages >= 2
         self.total_pages = total_pages
         self._free = list(range(total_pages - 1, 0, -1))  # stack, page 0 reserved
+        # refcounts for live pages (prefix caching shares read-only prompt
+        # pages across slots; a page frees when its last holder releases)
+        self._refs: Dict[int, int] = {}
 
     @property
     def free_pages(self) -> int:
         return len(self._free)
+
+    def refcount(self, page: int) -> int:
+        return self._refs.get(page, 0)
 
     def alloc(self, n: int):
         """Allocate n pages, or None if the pool can't satisfy it."""
         if n > len(self._free):
             return None
         out = [self._free.pop() for _ in range(n)]
+        for p in out:
+            self._refs[p] = 1
         return out
+
+    def share(self, pages) -> None:
+        """Add a reference to already-live pages (prefix-cache reuse)."""
+        for p in pages:
+            assert self._refs.get(p, 0) > 0, p
+            self._refs[p] += 1
 
     def release(self, pages) -> None:
         for p in pages:
             assert p != self.TRASH
-            self._free.append(p)
+            self._refs[p] -= 1
+            if self._refs[p] == 0:
+                del self._refs[p]
+                self._free.append(p)
 
 
 def write_tokens(

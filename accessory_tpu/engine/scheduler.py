@@ -87,7 +87,8 @@ class ContinuousBatcher:
                  total_pages: Optional[int] = None, seed: int = 0,
                  stop_symbols: Iterable[str] = (), decode_steps: int = 1,
                  kv_dtype: Optional[str] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 prefix_cache: bool = False):
         # decode_steps > 1 = multi-step scheduling (vLLM num_scheduler_steps
         # role): each dispatch decodes n tokens per slot with on-device
         # sampling before the host fetch. Amortizes host<->device latency
@@ -102,6 +103,20 @@ class ContinuousBatcher:
                               and getattr(module,
                                           "SUPPORTS_CHUNKED_PREFILL", False)
                               else None)
+        # prefix_cache: automatic prompt caching (vLLM APC role). Full
+        # prompt pages are registered in an LRU map keyed by a rolling
+        # hash of their token content; admission reuses matching pages
+        # read-only (PagePool refcounts) and prefills only the suffix via
+        # continuation dispatches. Entries are evicted under pool
+        # pressure. Requires forward_paged(continuation=True).
+        self.prefix_cache = bool(
+            prefix_cache
+            and getattr(module, "SUPPORTS_CHUNKED_PREFILL", False))
+        from collections import OrderedDict
+
+        self._prefix_map: "OrderedDict[int, int]" = OrderedDict()
+        self._page_key: Dict[int, int] = {}
+        self.prefix_hits = 0  # pages served from cache (serving metric)
         # decode-optimized weight layout (see engine.generate.Generator):
         # scan-sliced weights can't fuse into Pallas calls
         import os as _os
@@ -252,6 +267,60 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
     # paging
 
+    # ------------------------------------------------------------------
+    # prefix caching (automatic prompt caching, vLLM APC role)
+    # ------------------------------------------------------------------
+
+    def _prefix_keys(self, tokens: List[int]) -> List[int]:
+        """Rolling content hash per FULL prompt page (key_j covers
+        tokens[:(j+1)*ps], like vLLM's block hashes)."""
+        ps = self.page_size
+        keys, h = [], 0
+        for j in range(len(tokens) // ps):
+            h = hash((h, tuple(tokens[j * ps:(j + 1) * ps])))
+            keys.append(h)
+        return keys
+
+    def _match_prefix(self, tokens: List[int], keys: List[int]) -> List[int]:
+        """Longest run of cached pages covering the prompt head. Capped at
+        (plen-1)//ps so at least one suffix token remains to prefill (the
+        next-token sample needs the last prompt position's logits)."""
+        reused = []
+        for j in range(min(len(keys), (len(tokens) - 1) // self.page_size)):
+            page = self._prefix_map.get(keys[j])
+            if page is None:
+                break
+            reused.append(page)
+            self._prefix_map.move_to_end(keys[j])
+        return reused
+
+    def _register_prefix(self, slot: int, plen: int, k0: int,
+                         keys: List[int]) -> None:
+        """Publish this slot's freshly written full prompt pages (beyond
+        the k0 reused ones). The map holds its own page reference, so
+        cached pages outlive the slot."""
+        for j in range(k0, plen // self.page_size):
+            if keys[j] in self._prefix_map:
+                continue
+            page = int(self.page_table[slot, j])
+            self.pool.share([page])
+            self._prefix_map[keys[j]] = page
+            self._page_key[page] = keys[j]
+
+    def _evict_prefix(self, n: int) -> int:
+        """Drop LRU prefix-cache entries until ~n pages came free (entries
+        still referenced by active slots just lose cache residency)."""
+        freed = 0
+        for key in list(self._prefix_map):
+            if freed >= n:
+                break
+            page = self._prefix_map.pop(key)
+            del self._page_key[page]
+            before = self.pool.free_pages
+            self.pool.release([page])
+            freed += self.pool.free_pages - before
+        return freed
+
     def _release_slot(self, slot: int) -> None:
         self.pool.release(self.slot_pages[slot])
         self.slot_pages[slot] = []
@@ -280,6 +349,9 @@ class ContinuousBatcher:
         need = (int(self.h_len[slot]) + ahead - 1) // self.page_size
         while need >= len(self.slot_pages[slot]):
             pg = self.pool.alloc(1)
+            if pg is None and self._prefix_map:
+                self._evict_prefix(1)
+                pg = self.pool.alloc(1)
             if pg is None:
                 return False
             self.page_table[slot, len(self.slot_pages[slot])] = pg[0]
@@ -293,31 +365,53 @@ class ContinuousBatcher:
         ONE bucketed prefill for the whole group, sample first tokens on
         device. Returns [(slot, first_token)]."""
         group: List[Tuple[int, Request]] = []
+        reuse_k: Dict[int, int] = {}
+        keys_by_slot: Dict[int, List[int]] = {}
         for slot in range(self.slots):
             if self.active[slot] is not None or not self.pending:
                 continue
             req = self.pending[0]
             plen = len(req.prompt_tokens)
             n_pages = -(-plen // self.page_size)
+            reused: List[int] = []
+            keys: List[int] = []
+            if self.prefix_cache:
+                keys = self._prefix_keys(req.prompt_tokens)
+                reused = self._match_prefix(req.prompt_tokens, keys)
+                # hold our reference BEFORE any eviction can free them
+                self.pool.share(reused)
+                self.prefix_hits += len(reused)
+            need = n_pages - len(reused)
             # +1 headroom so the first decode steps can't immediately
             # preempt what we just admitted
-            pages = (self.pool.alloc(n_pages)
-                     if self.pool.free_pages >= n_pages + 1 else None)
+            if (self.pool.free_pages < need + 1 and self._prefix_map):
+                self._evict_prefix(need + 1 - self.pool.free_pages)
+            pages = (self.pool.alloc(need)
+                     if self.pool.free_pages >= need + 1 else None)
             if pages is None:
+                self.pool.release(reused)
                 break  # FIFO — don't admit younger requests past this one
             self.pending.pop(0)
-            self.slot_pages[slot] = pages
+            row = reused + pages
+            self.slot_pages[slot] = row
             self.page_table[slot, :] = PagePool.TRASH
-            self.page_table[slot, :n_pages] = pages
+            self.page_table[slot, :n_pages] = row
             self._admit_seq += 1
             req.admit_seq = self._admit_seq
+            reuse_k[slot] = len(reused)
+            keys_by_slot[slot] = keys
             group.append((slot, req))
         if not group:
             return []
 
         g = len(group)
         plens = np.array([len(r.prompt_tokens) for _, r in group], np.int32)
-        bucket = min(_round_up(int(plens.max())),
+        # prefix-cache reuse: each slot prefills only its SUFFIX (tokens
+        # past the reused pages), starting at its own offset
+        starts = np.array([reuse_k.get(s, 0) * self.page_size
+                           for s, _ in group], np.int32)
+        slens = plens - starts
+        bucket = min(_round_up(int(slens.max())),
                      self.pages_per_seq * self.page_size)
         # pad the group to the next power of two so prefill compiles are
         # O(log slots) shapes, not one per group size (each remote compile
@@ -326,9 +420,10 @@ class ContinuousBatcher:
         gp = 1 << (g - 1).bit_length()
         toks = np.zeros((gp, bucket), np.int32)
         for i, (_, r) in enumerate(group):
-            toks[i, :plens[i]] = r.prompt_tokens
+            toks[i, :slens[i]] = r.prompt_tokens[starts[i]:]
         gslots = np.array([s for s, _ in group])
-        plens_p = np.concatenate([plens, np.ones((gp - g,), np.int32)])
+        slens_p = np.concatenate([slens, np.ones((gp - g,), np.int32)])
+        starts_p = np.concatenate([starts, np.zeros((gp - g,), np.int32)])
         rows = np.concatenate(
             [self.page_table[gslots],
              np.full((gp - g, self.pages_per_seq), PagePool.TRASH,
@@ -337,38 +432,41 @@ class ContinuousBatcher:
         sub = dataclasses.replace(
             self.pcache,
             page_indices=jnp.asarray(rows),
-            lengths=jnp.zeros((gp,), jnp.int32))
+            lengths=jnp.asarray(starts_p))
         temps = jnp.asarray([r.temperature for _, r in group]
                             + [1.0] * (gp - g), jnp.float32)
         topps = jnp.asarray([r.top_p for _, r in group]
                             + [1.0] * (gp - g), jnp.float32)
         cs = self.prefill_chunk
-        if cs and bucket > cs:
+        use_continuation = starts.any() or (cs and bucket > cs)
+        if use_continuation:
             # chunked prefill: fixed-cs continuation dispatches. Every slot
             # advances lengths by cs per chunk (overshoot past a short
             # prompt lands in the reserved TRASH page, exactly like the
             # single-shot bucket overshoot); the host keeps the sample
             # from the chunk holding each prompt's last token and resets
             # lengths to the true plens below.
-            n_ch = -(-bucket // cs)
-            toks_pad = np.zeros((gp, n_ch * cs), np.int32)
+            ce = min(cs, bucket) if cs else bucket
+            n_ch = -(-bucket // ce)
+            toks_pad = np.zeros((gp, n_ch * ce), np.int32)
             toks_pad[:, :bucket] = toks
             nxt = np.zeros((gp,), np.int64)
+            max_start = int(starts_p.max())
             for c in range(n_ch):
-                active = max(1, -(-(c * cs) // self.page_size))
-                last_off = np.clip(plens_p - 1 - c * cs, 0, cs - 1)
+                active = max(1, -(-(max_start + c * ce) // self.page_size))
+                last_off = np.clip(slens_p - 1 - c * ce, 0, ce - 1)
                 self._key, k = jax.random.split(self._key)
-                nc, sub = self._chunk_prefill_fn(gp, cs, active)(
+                nc, sub = self._chunk_prefill_fn(gp, ce, active)(
                     self.params,
-                    jnp.asarray(toks_pad[:, c * cs:(c + 1) * cs]), sub,
+                    jnp.asarray(toks_pad[:, c * ce:(c + 1) * ce]), sub,
                     jnp.asarray(last_off, jnp.int32), k, temps, topps)
-                hit = (plens_p - 1) // cs == c
+                hit = (slens_p - 1) // ce == c
                 if hit.any():
                     nxt[hit] = np.asarray(nc)[hit]
         else:
             self._key, k = jax.random.split(self._key)
             nxt, sub = self._prefill_fn(gp, bucket)(
-                self.params, jnp.asarray(toks), sub, jnp.asarray(plens_p), k,
+                self.params, jnp.asarray(toks), sub, jnp.asarray(slens_p), k,
                 temps, topps)
             nxt = np.asarray(nxt)
 
@@ -381,6 +479,11 @@ class ContinuousBatcher:
             self.pcache, k_pages=sub.k_pages, v_pages=sub.v_pages,
             page_indices=jnp.asarray(self.page_table),
             lengths=jnp.asarray(self.h_len), **extra)
+
+        if self.prefix_cache:
+            for slot, req in group:
+                self._register_prefix(slot, len(req.prompt_tokens),
+                                      reuse_k[slot], keys_by_slot[slot])
 
         first = []
         for i, (slot, req) in enumerate(group):

@@ -167,3 +167,73 @@ def test_chunked_prefill_matches_unchunked(model):
                             model.tokenizer, slots=2, page_size=32,
                             prefill_chunk=4).run(prompts, max_gen_len=6)
     assert got == want
+
+
+def test_pagepool_refcounts():
+    from accessory_tpu.engine.kvcache import PagePool
+
+    pool = PagePool(6)
+    a = pool.alloc(2)
+    assert pool.free_pages == 3
+    pool.share(a)            # second holder
+    pool.release(a)          # first holder gone — pages stay live
+    assert pool.free_pages == 3 and pool.refcount(a[0]) == 1
+    pool.release(a)          # last holder gone — pages free
+    assert pool.free_pages == 5 and pool.refcount(a[0]) == 0
+
+
+def test_prefix_cache_reuses_pages_and_matches(model):
+    """Automatic prompt caching: a repeated long prompt prefix is served
+    from cached pages (read-only shared) and the outputs are identical to
+    the uncached scheduler."""
+    shared = "the quick brown fox jumps over the lazy dog and then"
+    prompts1 = [shared + " runs"]
+    prompts2 = [shared + " sleeps", shared + " eats"]
+
+    def run(prefix_cache):
+        cb = ContinuousBatcher(model.module, model.args, model.params,
+                               model.tokenizer, slots=2, page_size=4,
+                               prefix_cache=prefix_cache)
+        o1 = cb.run(prompts1, max_gen_len=4)
+        o2 = cb.run(prompts2, max_gen_len=4)
+        return o1 + o2, cb
+
+    want, _ = run(False)
+    got, cb = run(True)
+    assert got == want
+    assert cb.prefix_hits > 0           # later admissions reused pages
+    assert len(cb._prefix_map) > 0      # prompts were registered
+
+
+def test_prefix_cache_eviction_under_pressure(model):
+    """A small pool forces LRU eviction of cached prefixes; correctness
+    (greedy parity with the uncached run) is preserved throughout."""
+    prompts = [f"prompt number {i} says the quick brown fox" for i in range(4)]
+
+    def run(**kw):
+        cb = ContinuousBatcher(model.module, model.args, model.params,
+                               model.tokenizer, slots=2, page_size=4,
+                               total_pages=24, **kw)
+        return cb.run(prompts, max_gen_len=4), cb
+
+    want, _ = run()
+    got, cb = run(prefix_cache=True)
+    assert got == want
+    # the pool can't hold every prompt's pages — eviction must have run
+    assert len(cb._prefix_map) * 1 < sum(
+        len(model.tokenizer.encode(p, bos=True, eos=False)) // 4
+        for p in prompts)
+
+
+def test_prefix_cache_with_chunked_prefill(model):
+    """Prefix cache composes with chunked-prefill admission."""
+    shared = "the quick brown fox jumps over the lazy dog and then some"
+    prompts = [shared + " runs", shared + " sleeps"]
+    want = ContinuousBatcher(model.module, model.args, model.params,
+                             model.tokenizer, slots=2, page_size=4,
+                             ).run(prompts, max_gen_len=4)
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=2, page_size=4,
+                           prefix_cache=True, prefill_chunk=4)
+    got = cb.run(prompts, max_gen_len=4)
+    assert got == want
