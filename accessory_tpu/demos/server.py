@@ -35,10 +35,76 @@ def get_args_parser():
                    help="int8: quantized KV cache (2x context per GB)")
     p.add_argument("--host", default="127.0.0.1", type=str)
     p.add_argument("--port", default=8080, type=int)
+    # continuous-batching engine (vLLM-style serving; see engine/scheduler)
+    p.add_argument("--continuous", action="store_true",
+                   help="route /generate through the continuous batcher")
+    p.add_argument("--slots", default=8, type=int)
+    p.add_argument("--decode_steps", default=1, type=int)
+    p.add_argument("--prefill_chunk", default=None, type=int)
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="automatic prompt caching across requests")
     return p
 
 
-def make_handler(model, lock: threading.Lock):
+class BatchedEngine:
+    """Background continuous-batching loop for the HTTP server.
+
+    Owns a ContinuousBatcher on a daemon thread: handlers submit requests
+    from any connection thread and block on per-request completion events,
+    while the loop keeps ALL in-flight requests advancing together
+    (admission between decode steps, paged KV sharing, optional prefix
+    cache). This is the production-serving counterpart of the lock-per-
+    call Generator path — concurrent clients batch onto the chip instead
+    of queueing behind each other.
+
+    Reference role: the worker/request-queue loop of
+    accessory/model/multi_gpu_wrapper.py:143-321 and demos/multi_turn.py
+    :28-120, rebuilt around continuous batching."""
+
+    def __init__(self, batcher):
+        self.b = batcher
+        self.lock = threading.Lock()
+        self._events: dict = {}
+        self._results: dict = {}
+        self._wake = threading.Event()
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, prompt: str, max_gen_len: int, temperature: float,
+               top_p: float):
+        with self.lock:
+            uid = self.b.add_request(prompt, max_gen_len, temperature, top_p)
+            ev = threading.Event()
+            self._events[uid] = ev
+        self._wake.set()
+        return uid, ev
+
+    def generate(self, prompts, max_gen_len=256, temperature=0.0,
+                 top_p=0.95):
+        subs = [self.submit(p, max_gen_len, temperature, top_p)
+                for p in prompts]
+        for _, ev in subs:
+            ev.wait()
+        with self.lock:
+            return [self._results.pop(uid) for uid, _ in subs]
+
+    def _loop(self):
+        while True:
+            with self.lock:
+                busy = bool(self.b.pending) or any(
+                    r is not None for r in self.b.active.values())
+                if busy:
+                    for req in self.b.step():
+                        self._results[req.uid] = self.b.tokenizer.decode(
+                            req.output_tokens)
+                        ev = self._events.pop(req.uid, None)
+                        if ev:
+                            ev.set()
+            if not busy:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+
+def make_handler(model, lock: threading.Lock, engine=None):
     from accessory_tpu.data.conversation import default_conversation
 
     class Handler(BaseHTTPRequestHandler):
@@ -64,6 +130,16 @@ def make_handler(model, lock: threading.Lock):
                 return self._json(400, {"error": str(e)})
 
             if self.path == "/generate":
+                if engine is not None and not req.get("stop"):
+                    # continuous-batching path: concurrent requests batch
+                    # onto the chip (stop-symbol requests take the
+                    # Generator, whose stop matching is per-call)
+                    outs = engine.generate(
+                        req["prompts"],
+                        max_gen_len=req.get("max_gen_len", 256),
+                        temperature=req.get("temperature", 0.0),
+                        top_p=req.get("top_p", 0.95))
+                    return self._json(200, {"outputs": outs})
                 with lock:
                     outs = model.generate(
                         req["prompts"],
@@ -109,10 +185,20 @@ def make_handler(model, lock: threading.Lock):
     return Handler
 
 
-def serve(model, host: str = "127.0.0.1", port: int = 8080):
+def serve(model, host: str = "127.0.0.1", port: int = 8080,
+          continuous: bool = False, **batcher_kw):
     lock = threading.Lock()
-    server = ThreadingHTTPServer((host, port), make_handler(model, lock))
-    print(f"serving on http://{host}:{port}")
+    engine = None
+    if continuous:
+        from accessory_tpu.engine.scheduler import ContinuousBatcher
+
+        engine = BatchedEngine(ContinuousBatcher(
+            model.module, model.args, model.params, model.tokenizer,
+            **batcher_kw))
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(model, lock, engine))
+    print(f"serving on http://{host}:{port}"
+          + (" (continuous batching)" if continuous else ""))
     return server
 
 
@@ -123,7 +209,14 @@ def main(args) -> None:
         args.pretrained_path, llama_type=args.llama_type,
         max_seq_len=args.max_seq_len, quant=args.quant,
         quant_bits=args.quant_bits, kv_dtype=args.kv_dtype)
-    serve(model, args.host, args.port).serve_forever()
+    kw = {}
+    if args.continuous:
+        kw = dict(continuous=True, slots=args.slots,
+                  decode_steps=args.decode_steps,
+                  prefill_chunk=args.prefill_chunk,
+                  prefix_cache=args.prefix_cache,
+                  kv_dtype=args.kv_dtype)
+    serve(model, args.host, args.port, **kw).serve_forever()
 
 
 if __name__ == "__main__":

@@ -253,7 +253,13 @@ class Generator:
         stop_pos = np.asarray(stop_pos)
         decoded = []
         for i in range(bsz):
-            t = out_tokens[i, len(prompt_tokens[i]): stop_pos[i]].tolist()
+            plen = len(prompt_tokens[i])
+            # cap at max_gen_len PER SEQUENCE: the loop runs to
+            # max_prompt + max_gen for the whole batch, so shorter prompts
+            # see extra positions — the reference slices them off
+            # (meta.py:442-447 t[plen : plen + max_gen_len])
+            end = min(int(stop_pos[i]), plen + max_gen_len)
+            t = out_tokens[i, plen:end].tolist()
             decoded.append(self.tokenizer.decode(t))
         return decoded
 

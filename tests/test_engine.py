@@ -52,13 +52,13 @@ def greedy_reference(model, prompt, n_steps):
     return toks
 
 
-def _expected_text(model, prompt, total_len):
-    """Reference semantics: every row decodes until the shared total_len
-    (= max_prompt + max_gen_len), so shorter prompts generate more tokens
-    (meta.py:415-417, 434)."""
+def _expected_text(model, prompt, total_len, max_gen_len):
+    """Reference semantics: the loop runs to the shared total_len
+    (= max_prompt + max_gen_len) but each row's output is sliced to its
+    own max_gen_len tokens (meta.py:442-447)."""
     plen = len(model.tokenizer.encode(prompt, bos=True, eos=False))
     ref = greedy_reference(model, prompt, total_len - plen)
-    gen = ref[plen:]
+    gen = ref[plen:plen + max_gen_len]
     if model.tokenizer.eos_id in gen:
         gen = gen[: gen.index(model.tokenizer.eos_id)]
     return model.tokenizer.decode(gen)
@@ -72,7 +72,7 @@ def test_generate_matches_teacher_forced_greedy(model):
                      for p in prompts)
     total_len = max_prompt + 8
     for prompt, out in zip(prompts, outs):
-        assert out == _expected_text(model, prompt, total_len)
+        assert out == _expected_text(model, prompt, total_len, 8)
 
 
 def test_generate_deterministic(model):
@@ -89,7 +89,7 @@ def test_generate_ragged_batch(model):
                      for p in prompts)
     total_len = max_prompt + 6
     for out, p in zip(outs, prompts):
-        assert out == _expected_text(model, p, total_len)
+        assert out == _expected_text(model, p, total_len, 6)
 
 
 def test_stop_symbol_truncates(model):

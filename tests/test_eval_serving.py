@@ -156,3 +156,38 @@ def test_cli_demo_multi_model_compare(model, monkeypatch, capsys, tmp_path):
     cli.main(args)
     out = capsys.readouterr().out
     assert "[ckptA] assistant:" in out and "[ckptB] assistant:" in out
+
+
+def test_http_server_continuous_batching(model):
+    """--continuous mode: /generate routes through the background
+    ContinuousBatcher loop; concurrent requests batch together and each
+    gets its own completion. Output matches the Generator path (greedy)."""
+    from accessory_tpu.demos.server import serve
+
+    want = model.generate(["hello world", "the quick"], max_gen_len=4,
+                          temperature=0.0)
+    server = serve(model, host="127.0.0.1", port=0, continuous=True,
+                   slots=2, page_size=32, prefix_cache=True)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        results = {}
+
+        def post(i, prompt):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"prompts": [prompt],
+                                 "max_gen_len": 4}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                results[i] = json.load(r)["outputs"][0]
+
+        ts = [threading.Thread(target=post, args=(i, p))
+              for i, p in enumerate(["hello world", "the quick"])]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert results[0] == want[0] and results[1] == want[1], results
+    finally:
+        server.shutdown()
