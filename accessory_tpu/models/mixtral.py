@@ -40,6 +40,9 @@ Params = Dict[str, Any]
 SUPPORTS_UNROLLED_DECODE = True
 # init_kv_cache(kv_dtype="int8") supported (see models.llama)
 SUPPORTS_KV_INT8 = True
+# forward_paged(continuation=True) supported (chunked prefill /
+# speculative verify at per-slot offsets)
+SUPPORTS_CHUNKED_PREFILL = True
 
 
 def init_params(key: jax.Array, args: MixtralArgs) -> Params:
@@ -384,8 +387,10 @@ def init_paged_cache(args: MixtralArgs, slots: int, total_pages: int,
 
 def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
                   pcache, moe_impl: str = "ragged",
-                  active_pages: Optional[int] = None):
-    """Paged-cache forward, same contract as llama.forward_paged."""
+                  active_pages: Optional[int] = None,
+                  continuation: bool = False):
+    """Paged-cache forward, same contract as llama.forward_paged
+    (incl. ``continuation=True`` chunked prefill at per-slot offsets)."""
     import dataclasses
 
     from accessory_tpu.engine.kvcache import (
@@ -405,6 +410,11 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
         cos = jnp.take(cos_full, pos, axis=0)[:, None, :]
         sin = jnp.take(sin_full, pos, axis=0)[:, None, :]
         start = pos
+    elif continuation:
+        pos2d = pcache.lengths[:, None] + jnp.arange(sq)[None, :]  # (b, sq)
+        cos = jnp.take(cos_full, pos2d, axis=0)  # (b, sq, d/2)
+        sin = jnp.take(sin_full, pos2d, axis=0)
+        start = pcache.lengths
     else:
         cos, sin = cos_full[:sq], sin_full[:sq]
         start = jnp.zeros((b,), jnp.int32)
@@ -422,7 +432,7 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
         q = apply_rope(q, cos, sin, args.rope_style)
         k = apply_rope(k, cos, sin, args.rope_style)
 
-        if decode:
+        if decode or continuation:
             out = paged_cached_attention(
                 q, k, v, kp, vp, old_lengths, page_indices, active_pages)
         else:

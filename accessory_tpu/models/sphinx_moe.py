@@ -31,6 +31,7 @@ SUPPORTS_KV_INT8 = True
 cache_axes = mixtral.cache_axes
 init_paged_cache = mixtral.init_paged_cache
 forward_paged = mixtral.forward_paged
+SUPPORTS_CHUNKED_PREFILL = True  # delegated (continuation offsets)
 
 
 def init_params(key: jax.Array, args: SphinxMoEArgs):

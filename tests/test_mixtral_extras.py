@@ -93,3 +93,29 @@ def test_mixtral_quantized_experts_forward():
     # quantization error only: correlation of logits stays high
     r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(out).ravel())[0, 1]
     assert r > 0.98, r
+
+
+def test_mixtral_forward_paged_chunked_continuation():
+    """Chunked (continuation=True) paged prefill == one-shot, MoE decoder."""
+    import numpy as np
+
+    from accessory_tpu.models import mixtral
+
+    args = MixtralArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                       hidden_dim=128, vocab_size=97, num_experts=4,
+                       num_experts_per_tok=2, max_seq_len=32,
+                       dtype="float32")
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 97)
+
+    pc1 = mixtral.init_paged_cache(args, slots=2, total_pages=8, page_size=8)
+    l1, pc1 = mixtral.forward_paged(params, args, toks, pc1)
+
+    pc2 = mixtral.init_paged_cache(args, slots=2, total_pages=8, page_size=8)
+    for c in range(2):
+        lc, pc2 = mixtral.forward_paged(params, args, toks[:, c * 4:(c + 1) * 4],
+                                        pc2, continuation=True)
+    np.testing.assert_allclose(np.asarray(lc), np.asarray(l1[:, -4:]),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(pc1.lengths),
+                                  np.asarray(pc2.lengths))
