@@ -233,7 +233,9 @@ def bench_prefill_ttft(batch=1, prompt_len=2048):
 
 
 def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
-                    gen_len=64, page_size=64, decode_steps=8):
+                    gen_len=64, page_size=64, decode_steps=8,
+                    prefix_cache=False, spec_lookup=0, shared_prefix=0,
+                    tag=""):
     """Continuous-batching serving benchmark: Poisson arrivals into the
     scheduler; reports p50 TTFT and aggregate generated tok/s (the serving
     role of reference multi_gpu_wrapper.py:143-321).
@@ -254,7 +256,13 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
 
         def encode(self, s, bos=True, eos=False):
             rng = np.random.RandomState(abs(hash(s)) % (1 << 31))
-            return [1] + list(rng.randint(3, 32000, prompt_len - 1))
+            toks = [1] + list(rng.randint(3, 32000, prompt_len - 1))
+            if shared_prefix:
+                # shared system-prompt prefix (the prefix-cache workload)
+                srng = np.random.RandomState(1234)
+                toks[:shared_prefix] = list(
+                    srng.randint(3, 32000, shared_prefix))
+            return toks
 
         def encode_segment(self, s):
             return [3]
@@ -272,7 +280,10 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
         lambda: llama.init_params(jax.random.PRNGKey(0), args),
         jax.random.PRNGKey(0))
     cb = ContinuousBatcher(llama, args, params, _Tok(), slots=slots,
-                           page_size=page_size, decode_steps=decode_steps)
+                           page_size=page_size, decode_steps=decode_steps,
+                           prefix_cache=prefix_cache,
+                           spec_lookup=spec_lookup,
+                           prefill_chunk=None)
 
     # warm the compile caches before timing: the scheduler pads admission
     # groups to powers of two, so warm each pow2 group size + decode (a
@@ -313,11 +324,18 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
     n_generated = sum(len(r.output_tokens) for r in cb.finished)
     ttfts = sorted(first_seen[u] - ttft[u] for u in ttft if u in first_seen)
     p50 = ttfts[len(ttfts) // 2] if ttfts else 0.0
+    extra = {}
+    if prefix_cache:
+        extra["prefix_hit_pages"] = cb.prefix_hits
+    if spec_lookup:
+        extra["spec_tok_per_dispatch"] = round(
+            (cb.spec_accepted + cb.spec_steps) / max(1, cb.spec_steps), 2)
     print(json.dumps({
-        "metric": f"scheduler serving TinyLlama W4 {slots} slots Poisson",
+        "metric": f"scheduler serving TinyLlama W4 {slots} slots Poisson"
+                  + (f" {tag}" if tag else ""),
         "value": round(n_generated / total, 1), "unit": "tok/s",
         "p50_ttft_ms": round(p50 * 1e3, 1),
-        "vs_baseline": 0.0}), flush=True)
+        "vs_baseline": 0.0, **extra}), flush=True)
 
 
 if __name__ == "__main__":
@@ -325,10 +343,17 @@ if __name__ == "__main__":
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
-                             "sched", "longctx", "kv8", "kv8-longctx"])
+                             "sched", "longctx", "kv8", "kv8-longctx",
+                             "sched-pc", "sched-spec"])
     a = ap.parse_args()
     if a.only == "sched":
         bench_scheduler()
+    if a.only == "sched-pc":
+        # shared 64-token prefix across requests: measures prompt caching
+        bench_scheduler(prefix_cache=True, shared_prefix=64,
+                        tag="prefix-cache")
+    if a.only == "sched-spec":
+        bench_scheduler(spec_lookup=4, decode_steps=1, tag="spec-lookup")
     if a.only in (None, "tiny"):
         bench_llama_decode("TinyLlama-1.1B",
                            dict(dim=2048, n_layers=22, n_heads=32,
