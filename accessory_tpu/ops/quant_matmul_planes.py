@@ -90,6 +90,34 @@ def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
     return jnp.asarray(words.reshape(k // 8, n))
 
 
+def unpack_planes(packed_planes: jnp.ndarray, in_dim: int, tk: int,
+                  group_size: int, scales: jnp.ndarray,
+                  zs: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Device-side inverse of repack_for_planes + dequant → (K, N) dense.
+
+    For LARGE-m matmuls (prefill/training) the kernel's per-m-tile unpack
+    is redundant work (m/TM repetitions of the same VPU dequant); unpacking
+    once to a dense bf16 weight and letting the MXU run a plain dot trades
+    one K*N*2-byte HBM round trip for it. XLA expressions only — no Pallas.
+    """
+    k, n = in_dim, packed_planes.shape[-1]
+    w32 = packed_planes.reshape(k // tk, tk // 8, n)
+    bytes_ = [(w32 >> jnp.uint32(8 * b)) for b in range(4)]
+    lo = jnp.stack([(x & jnp.uint32(0xF)) for x in bytes_], axis=2)
+    hi = jnp.stack([((x >> jnp.uint32(4)) & jnp.uint32(0xF))
+                    for x in bytes_], axis=2)
+    # (tiles, tk//8, 4, n) -> halves (tiles, tk//2, n) -> (K, N)
+    q = jnp.concatenate([lo.reshape(k // tk, tk // 2, n),
+                         hi.reshape(k // tk, tk // 2, n)], axis=1)
+    q = q.reshape(k, n).astype(jnp.float32)
+    g = group_size
+    q = q.reshape(k // g, g, n)
+    # planes layout folds zeros to zs = zeros * scales: w = q*s - zs
+    w = q * scales.astype(jnp.float32)[:, None, :] \
+        - zs.astype(jnp.float32)[:, None, :]
+    return w.reshape(k, n).astype(dtype)
+
+
 def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
             group_size: int, tk: int, precise: bool,
             norm_eps: float = 0.0, has_norm: bool = False,

@@ -18,6 +18,7 @@ dequant+dot reference elsewhere (and inside kernel unit tests).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -252,6 +253,23 @@ def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
     return w.reshape(qw.in_dim, qw.out_dim).astype(dtype)
 
 
+def _dense_fused(x, w, norm_weight, norm_eps, residual, rope):
+    """Dense-weight equivalent of the fused kernel call: same op order as
+    the unfused module_linear_nr path (rms_norm → dot → rope → +residual),
+    used by the large-m dequant-once dispatch."""
+    from accessory_tpu.ops.norms import rms_norm
+    from accessory_tpu.ops.rope import apply_rope_flat
+
+    xn = x if norm_weight is None else rms_norm(x, norm_weight, norm_eps)
+    y = jnp.dot(xn.astype(w.dtype), w)
+    if rope is not None:
+        cos_row, sin_row, style, hd = rope
+        y = apply_rope_flat(y, cos_row, sin_row, style, hd)
+    if residual is not None:
+        y = residual.reshape(y.shape) + y
+    return y
+
+
 def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool] = None,
                  norm_weight: Optional[jnp.ndarray] = None,
                  norm_eps: float = 1e-5,
@@ -279,6 +297,19 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
         x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
         res2d = (None if residual is None
                  else residual.reshape(-1, qw.out_dim))
+        # LARGE-m calls (prefill/training): the kernel re-unpacks W per
+        # m-tile (m/128 redundant VPU dequants); above the threshold,
+        # dequantize once and run a plain MXU dot. Off by default until
+        # the crossover is measured on-chip (ACCESSORY_QMM_DENSE_M=512
+        # is the expected regime).
+        dense_m = int(os.environ.get("ACCESSORY_QMM_DENSE_M", "0"))
+        if dense_m and x2d.shape[0] >= dense_m:
+            from accessory_tpu.ops.quant_matmul_planes import unpack_planes
+
+            return _dense_fused(x, unpack_planes(
+                qw.packed, qw.in_dim, qw.tile_k, qw.group_size,
+                qw.scales, qw.zeros, dtype=qw.act_dtype),
+                norm_weight, norm_eps, residual, rope)
         # rope: (cos_row (N,), sin_row (N,), style, head_dim) — decode
         # RoPE epilogue (ops.rope.rope_rows)
         rope_cos, rope_sin, rope_style, rope_hd = (
@@ -296,6 +327,15 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
 
         lead = x.shape[:-1]
         x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
+        dense_m = int(os.environ.get("ACCESSORY_QMM_DENSE_M", "0"))
+        if dense_m and x2d.shape[0] >= dense_m:
+            g = qw.group_size
+            qf = qw.packed.astype(jnp.float32).reshape(
+                qw.in_dim // g, g, qw.out_dim)
+            w = (qf * qw.scales.astype(jnp.float32)[:, None, :]
+                 - qw.zeros.astype(jnp.float32)[:, None, :]).reshape(
+                qw.in_dim, qw.out_dim).astype(qw.act_dtype)
+            return _dense_fused(x, w, norm_weight, norm_eps, residual, rope)
         res2d = (None if residual is None
                  else residual.reshape(-1, qw.out_dim))
         rope_cos, rope_sin, rope_style, rope_hd = (

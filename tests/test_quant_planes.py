@@ -184,3 +184,46 @@ def test_planes_out_dim_below_lane_tile():
     want = x @ dequantize_weight(qw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_unpack_planes_matches_std_dequant():
+    """Device-side planes unpack+dequant == std-layout dequantize_weight."""
+    import numpy as np
+
+    from accessory_tpu.ops.quant_matmul_planes import unpack_planes
+    from accessory_tpu.quant.qtensor import (dequantize_weight,
+                                             quantize_weight,
+                                             to_planes_layout)
+
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.standard_normal((512, 256)), jnp.float32)
+    qw = quantize_weight(w, bits=4, group_size=64, act_dtype=jnp.float32)
+    qp = to_planes_layout(qw)
+    got = unpack_planes(qp.packed, qp.in_dim, qp.tile_k, qp.group_size,
+                        qp.scales, qp.zeros, dtype=jnp.float32)
+    want = dequantize_weight(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dense_m_dispatch_matches_kernel(monkeypatch):
+    """ACCESSORY_QMM_DENSE_M large-m path == kernel path (incl. fusions)."""
+    import numpy as np
+
+    from accessory_tpu.ops.norms import rms_norm
+    from accessory_tpu.quant.qtensor import (quant_matmul, quantize_weight,
+                                             to_planes_layout)
+
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((300, 256)), jnp.float32)
+    nw = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((300, 256)), jnp.float32)
+    qp = to_planes_layout(
+        quantize_weight(w, bits=4, group_size=64, act_dtype=jnp.float32))
+
+    want = quant_matmul(x, qp, norm_weight=nw, residual=res)
+    monkeypatch.setenv("ACCESSORY_QMM_DENSE_M", "256")
+    got = quant_matmul(x, qp, norm_weight=nw, residual=res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-4, atol=3e-4)
