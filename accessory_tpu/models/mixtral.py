@@ -376,13 +376,17 @@ def forward(
 
 def init_paged_cache(args: MixtralArgs, slots: int, total_pages: int,
                      page_size: int = 64, pages_per_seq: Optional[int] = None,
-                     dtype=None):
+                     dtype=None, kv_dtype: Optional[str] = None):
+    import os
+
     from accessory_tpu.engine.kvcache import init_paged_cache as _init
 
+    if kv_dtype is None:
+        kv_dtype = os.environ.get("ACCESSORY_KV_DTYPE")
     pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
     return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
                  page_size, slots, pages_per_seq,
-                 dtype=dtype or jnp.dtype(args.dtype))
+                 dtype=dtype or jnp.dtype(args.dtype), kv_dtype=kv_dtype)
 
 
 def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
@@ -421,9 +425,11 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
 
     page_indices = pcache.page_indices
     old_lengths = pcache.lengths
+    int8_kv = pcache.ks_pages is not None
 
     def body(h, xs):
-        layer, kp, vp = xs
+        layer, kp, vp = xs[:3]
+        kps, vps = (xs[3], xs[4]) if int8_kv else (None, None)
         att = layer["attention"]
         x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
         q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
@@ -434,7 +440,8 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
 
         if decode or continuation:
             out = paged_cached_attention(
-                q, k, v, kp, vp, old_lengths, page_indices, active_pages)
+                q, k, v, kp, vp, old_lengths, page_indices, active_pages,
+                kps, vps)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
@@ -448,14 +455,26 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
         h = h + y.reshape(b, sq, args.dim)
         return h, (k, v)
 
-    h, (new_k, new_v) = jax.lax.scan(
-        body, h, (params["layers"], pcache.k_pages, pcache.v_pages))
+    xs = (params["layers"], pcache.k_pages, pcache.v_pages)
+    if int8_kv:
+        xs = xs + (pcache.ks_pages, pcache.vs_pages)
+    h, (new_k, new_v) = jax.lax.scan(body, h, xs)
 
-    k_pages, v_pages = write_tokens_all_layers(
-        pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices, start)
+    if int8_kv:
+        k_pages, v_pages, ks_pages, vs_pages = write_tokens_all_layers(
+            pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices,
+            start, pcache.ks_pages, pcache.vs_pages)
+        new_cache = dataclasses.replace(
+            pcache, k_pages=k_pages, v_pages=v_pages, ks_pages=ks_pages,
+            vs_pages=vs_pages, lengths=old_lengths + sq)
+    else:
+        k_pages, v_pages = write_tokens_all_layers(
+            pcache.k_pages, pcache.v_pages, new_k, new_v, page_indices,
+            start)
+        new_cache = dataclasses.replace(
+            pcache, k_pages=k_pages, v_pages=v_pages,
+            lengths=old_lengths + sq)
 
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = linear(h, params["output"]["weight"]).astype(jnp.float32)
-    new_cache = dataclasses.replace(
-        pcache, k_pages=k_pages, v_pages=v_pages, lengths=old_lengths + sq)
     return logits, new_cache

@@ -119,3 +119,28 @@ def test_mixtral_forward_paged_chunked_continuation():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_array_equal(np.asarray(pc1.lengths),
                                   np.asarray(pc2.lengths))
+
+
+def test_mixtral_forward_paged_int8_kv():
+    """int8 page pools through the MoE paged path stay close to bf16."""
+    import numpy as np
+
+    from accessory_tpu.models import mixtral
+
+    args = MixtralArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                       hidden_dim=128, vocab_size=97, num_experts=4,
+                       num_experts_per_tok=2, max_seq_len=32,
+                       dtype="float32")
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 97)
+
+    pc = mixtral.init_paged_cache(args, slots=2, total_pages=8, page_size=8)
+    l0, pc = mixtral.forward_paged(params, args, toks, pc)
+    d0, pc = mixtral.forward_paged(params, args, toks[:, :1], pc)
+
+    pc8 = mixtral.init_paged_cache(args, slots=2, total_pages=8, page_size=8,
+                                   kv_dtype="int8")
+    l8, pc8 = mixtral.forward_paged(params, args, toks, pc8)
+    assert pc8.ks_pages is not None
+    d8, pc8 = mixtral.forward_paged(params, args, toks[:, :1], pc8)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d0), atol=0.35)
