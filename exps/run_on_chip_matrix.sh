@@ -1,0 +1,50 @@
+#!/bin/bash
+# On-chip verification + bench matrix for the round-2 continuation features.
+# Launched automatically by the TPU probe when the relay recovers, or by
+# hand. Everything logs to /tmp/chip_matrix/; each step has its own timeout
+# so one hang doesn't eat the session. Compile cache persists across steps.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+export JAX_COMPILATION_CACHE_DIR=/root/jax_cache
+OUT=/tmp/chip_matrix
+mkdir -p $OUT
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== $name start $(date +%H:%M:%S)" >> $OUT/summary.log
+  timeout "$t" "$@" > "$OUT/$name.log" 2>&1
+  echo "=== $name exit $? $(date +%H:%M:%S)" >> $OUT/summary.log
+}
+
+# 1. correctness: int8 KV + rope fuse + paged int8 on the real chip
+run verify_kv_int8 1800 python -u exps/verify_kv_int8_tpu.py
+
+# 2. headline bench (unchanged config — guards the 4754 tok/s number)
+run bench_headline 2400 python -u bench.py
+
+# 3. rope-fuse A/B on the headline config
+ACCESSORY_ROPE_FUSE=1 run bench_ropefuse 1800 python -u bench.py
+
+# 4. int8 KV decode
+BENCH_KV_DTYPE=int8 run bench_kv8 1800 python -u bench.py
+
+# 5. chunked-S attention at 4k ctx (bf16 KV)
+run bench_longctx 2400 python -u bench_all.py --only longctx
+ACCESSORY_ATTN_CHUNK=1 run bench_longctx_chunk 1800 python -u bench_all.py --only longctx
+
+# 6. int8 KV at 4k ctx (+ chunked)
+run bench_kv8_longctx 1800 python -u bench_all.py --only kv8-longctx
+ACCESSORY_ATTN_CHUNK=1 run bench_kv8_longctx_chunk 1800 python -u bench_all.py --only kv8-longctx
+
+# 7. prefill TTFT with the dense-m dequant path A/B
+run bench_ttft 1800 python -u bench_all.py --only ttft
+ACCESSORY_QMM_DENSE_M=512 run bench_ttft_dense 1800 python -u bench_all.py --only ttft
+
+# 8. scheduler serving variants
+run bench_sched 2400 python -u bench_all.py --only sched
+run bench_sched_pc 2400 python -u bench_all.py --only sched-pc
+run bench_sched_spec 2400 python -u bench_all.py --only sched-spec
+
+echo "MATRIX DONE $(date)" >> $OUT/summary.log
+touch /tmp/chip_matrix_done.flag
