@@ -274,9 +274,29 @@ def paged_cached_attention(
 ) -> jnp.ndarray:
     """Decode attention against READ-ONLY page pools + the new token, via
     the same two-part softmax as ops.attention.cached_attention — so models
-    can keep the pool out of their scan carry/outputs (the scan-copy fix)."""
+    can keep the pool out of their scan carry/outputs (the scan-copy fix).
+
+    On TPU decode steps this dispatches to the Pallas paged kernel
+    (ops/paged_decode.py): pages stream HBM→VMEM once instead of the
+    gather path's dense materialization (3x context traffic). Gate:
+    ACCESSORY_PAGED_KERNEL=0 forces the XLA gather path; =interpret runs
+    the kernel in interpret mode on any backend (tests / verify)."""
     from accessory_tpu.ops.attention import cached_attention
 
+    mode = os.environ.get("ACCESSORY_PAGED_KERNEL", "1")
+    use_kernel = (
+        q.shape[1] == 1
+        and q.shape[-1] % 8 == 0
+        and (mode == "interpret"
+             or (mode == "1" and jax.default_backend() == "tpu"))
+    )
+    if use_kernel:
+        from accessory_tpu.ops.paged_decode import paged_decode_attention
+
+        return paged_decode_attention(
+            q, k_new, v_new, k_pages, v_pages, lengths_old, page_indices,
+            active_pages, ks_pages, vs_pages,
+            interpret=mode == "interpret")
     k, v = gather_pages(k_pages, v_pages, page_indices, active_pages,
                         ks_pages, vs_pages)
     return cached_attention(q, k_new, v_new, k, v, lengths_old)

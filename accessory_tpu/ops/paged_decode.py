@@ -1,0 +1,290 @@
+"""Pallas paged decode attention: read KV pages directly from HBM.
+
+The XLA serving path (engine/kvcache.py gather_pages) materializes a dense
+(b, ctx, n_kv, hd) copy of every slot's pages per layer per step — the pool
+is read once, the copy written once and read back once: 3x the HBM traffic
+of the context. This kernel streams each sequence's pages straight from the
+HBM pool into VMEM with double-buffered DMAs driven by the scalar-prefetched
+page table, carrying an online softmax across pages — context bytes move
+exactly once, like the flat-cache kernels in ops/decode_attention.py.
+
+Design notes:
+  * grid (b, n_kv); each program loops over the slot's ``active_pages``
+    logical pages (static per scheduler bucket), so the page loop unrolls
+    at trace time and buffer parity is static.
+  * k/v pools stay in ``pltpu.ANY`` (HBM). Page blocks (page_size, hd) are
+    contiguous, so each DMA is one dense (ps*hd)-element transfer.
+  * pages past a sequence's allocation point at the TRASH page (pool page
+    0, engine/kvcache.py PagePool) — the DMA is harmless and the scores are
+    masked by ``lengths`` exactly like the XLA oracle.
+  * the current token's k/v ride separately (two-part softmax, same
+    contract as ops.attention.cached_attention): pools stay READ-ONLY here
+    and the model does one bulk multi-layer write per step.
+  * int8 pools: values upcast int8→bf16 exactly (|q| <= 127), per-token
+    scales fold into the score/prob rows — same math as _kernel_bloop_w8.
+
+Replaces the bundled jax paged_attention kernel (whose remote compile on
+this environment exceeds 9 min) on the serving decode path; reference role:
+the decode branch of accessory/model/LLM/llama.py Attention.forward over
+its preallocated cache_k/cache_v (llama.py:210-215), paged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
+                  out_ref, k_buf, v_buf, k_sem, v_sem):
+    """Grid (B, NKV). pt/lens in SMEM; q (1,1,R,HD); kn/vn (1,1,HD);
+    kp/vp full (NKV, P, ps, HD) refs in ANY; out (1,1,R,HD);
+    k_buf/v_buf (2, ps, HD) VMEM scratch; k_sem/v_sem DMA((2,))."""
+    bi = pl.program_id(0)
+    h = pl.program_id(1)
+    J = pt_ref.shape[1]
+    ps = k_buf.shape[1]
+    q = q_ref[0, 0]                                    # (R, HD)
+    hd = q.shape[1]
+    scale = hd ** -0.5
+    prec = (jax.lax.Precision.HIGHEST if kp_ref.dtype == jnp.float32
+            else None)
+    length = lens_ref[bi]
+
+    def _copy(j, slot):
+        page = pt_ref[bi, j]
+        return (pltpu.make_async_copy(kp_ref.at[h, page], k_buf.at[slot],
+                                      k_sem.at[slot]),
+                pltpu.make_async_copy(vp_ref.at[h, page], v_buf.at[slot],
+                                      v_sem.at[slot]))
+
+    ck, cv = _copy(0, 0)
+    ck.start()
+    cv.start()
+
+    m = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)   # (R, 1)
+    denom = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc = jnp.zeros((q.shape[0], hd), jnp.float32)        # (R, HD)
+
+    for j in range(J):
+        slot = j % 2
+        if j + 1 < J:
+            nk, nv = _copy(j + 1, (j + 1) % 2)
+            nk.start()
+            nv.start()
+        wk, wv = _copy(j, slot)
+        wk.wait()
+        wv.wait()
+
+        kc = k_buf[slot]                               # (ps, HD)
+        vc = v_buf[slot]
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec) * scale                    # (R, ps)
+        gcol = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(gcol < length, s, NEG_INF)
+
+        m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_cur)
+        p = jnp.exp(s - m_cur)                         # (R, ps)
+        denom = denom * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (R, HD)
+        acc = acc * alpha + pv
+        m = m_cur
+
+    kn = kn_ref[0, 0].astype(jnp.float32)              # (HD,)
+    vn = vn_ref[0, 0].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
+    m_fin = jnp.maximum(m, s_new)
+    a_fin = jnp.exp(m - m_fin)
+    p_new = jnp.exp(s_new - m_fin)
+    denom = denom * a_fin + p_new
+    out = acc * a_fin + p_new * vn[None, :]
+    out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+
+
+def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
+                   ksp_ref, vsp_ref, out_ref, k_buf, v_buf, ks_buf, vs_buf,
+                   k_sem, v_sem, ks_sem, vs_sem):
+    """int8-pool variant: kp/vp int8 + ksp/vsp (NKV, P, ps) f32 per-token
+    scales, all in ANY. Scale rows fold into scores/probs (the int8→bf16
+    value upcast is exact for |q| <= 127)."""
+    bi = pl.program_id(0)
+    h = pl.program_id(1)
+    J = pt_ref.shape[1]
+    ps = k_buf.shape[1]
+    q = q_ref[0, 0]                                    # (R, HD)
+    hd = q.shape[1]
+    scale = hd ** -0.5
+    length = lens_ref[bi]
+
+    def _copy(j, slot):
+        page = pt_ref[bi, j]
+        return (
+            pltpu.make_async_copy(kp_ref.at[h, page], k_buf.at[slot],
+                                  k_sem.at[slot]),
+            pltpu.make_async_copy(vp_ref.at[h, page], v_buf.at[slot],
+                                  v_sem.at[slot]),
+            pltpu.make_async_copy(ksp_ref.at[h, page], ks_buf.at[slot],
+                                  ks_sem.at[slot]),
+            pltpu.make_async_copy(vsp_ref.at[h, page], vs_buf.at[slot],
+                                  vs_sem.at[slot]),
+        )
+
+    for c in _copy(0, 0):
+        c.start()
+
+    m = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)
+    denom = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc = jnp.zeros((q.shape[0], hd), jnp.float32)
+
+    for j in range(J):
+        slot = j % 2
+        if j + 1 < J:
+            for c in _copy(j + 1, (j + 1) % 2):
+                c.start()
+        for c in _copy(j, slot):
+            c.wait()
+
+        kc = k_buf[slot].astype(jnp.bfloat16)          # (ps, HD) exact
+        vc = v_buf[slot].astype(jnp.bfloat16)
+        ksc = ks_buf[slot].reshape(1, ps)              # (1, ps) f32
+        vsc = vs_buf[slot].reshape(1, ps)
+        s = jax.lax.dot_general(
+            q, kc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (ksc * scale)  # (R, ps)
+        gcol = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(gcol < length, s, NEG_INF)
+
+        m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_cur)
+        p = jnp.exp(s - m_cur)
+        denom = denom * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            (p * vsc).astype(jnp.bfloat16), vc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (R, HD)
+        acc = acc * alpha + pv
+        m = m_cur
+
+    kn = kn_ref[0, 0].astype(jnp.float32)
+    vn = vn_ref[0, 0].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
+    m_fin = jnp.maximum(m, s_new)
+    a_fin = jnp.exp(m - m_fin)
+    p_new = jnp.exp(s_new - m_fin)
+    denom = denom * a_fin + p_new
+    out = acc * a_fin + p_new * vn[None, :]
+    out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
+                  interpret=False):
+    """q (b, nkv, R, hd); k_new/v_new (b, nkv, hd); pools (nkv, P, ps, hd);
+    page_table (b, J) — already sliced to the active pages."""
+    b, nkv, r, hd = q.shape
+    ps = k_pages.shape[2]
+    head4 = lambda i, j, pt, lens: (i, j, 0, 0)
+    head3 = lambda i, j, pt, lens: (i, j, 0)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        _paged_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, r, hd), head4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
+                any_spec,
+                any_spec,
+            ],
+            out_specs=pl.BlockSpec((1, 1, r, hd), head4,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, ps, hd), k_pages.dtype),
+                pltpu.VMEM((2, ps, hd), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
+      q, k_new, v_new, k_pages, v_pages)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
+                   lengths, page_table, interpret=False):
+    b, nkv, r, hd = q.shape
+    ps = k_pages.shape[2]
+    head4 = lambda i, j, pt, lens: (i, j, 0, 0)
+    head3 = lambda i, j, pt, lens: (i, j, 0)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        _paged_kernel8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, r, hd), head4, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
+                any_spec, any_spec, any_spec, any_spec,
+            ],
+            out_specs=pl.BlockSpec((1, 1, r, hd), head4,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, ps, hd), jnp.int8),
+                pltpu.VMEM((2, ps, hd), jnp.int8),
+                pltpu.VMEM((2, ps), jnp.float32),
+                pltpu.VMEM((2, ps), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
+      q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages)
+
+
+def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
+                           page_indices, active_pages=None, ks_pages=None,
+                           vs_pages=None, interpret=False):
+    """Decode attention over paged pools + the new token, Pallas path.
+
+    Same contract as engine.kvcache.paged_cached_attention: q (b, 1, nq,
+    hd), k_new/v_new (b, 1, nkv, hd), pools (n_kv, P, ps, hd) read-only,
+    ``lengths_old`` excludes the new token. Returns (b, 1, nq, hd).
+    """
+    b, sq, nq, hd = q.shape
+    assert sq == 1, "paged kernel is decode-only (sq == 1)"
+    nkv = k_new.shape[2]
+    pt = page_indices
+    if active_pages is not None:
+        pt = pt[:, :active_pages]
+    qg = q.reshape(b, nkv, nq // nkv, hd)
+    kn = k_new.reshape(b, nkv, hd)
+    vn = v_new.reshape(b, nkv, hd)
+    if ks_pages is not None:
+        out = _paged_decode8(qg, kn, vn, k_pages, v_pages, ks_pages,
+                             vs_pages, lengths_old, pt, interpret=interpret)
+    else:
+        out = _paged_decode(qg, kn, vn, k_pages, v_pages, lengths_old, pt,
+                            interpret=interpret)
+    return out.reshape(b, 1, nq, hd)

@@ -41,10 +41,13 @@ ACCESSORY_ATTN_CHUNK=1 run bench_kv8_longctx_chunk 1800 python -u bench_all.py -
 run bench_ttft 1800 python -u bench_all.py --only ttft
 ACCESSORY_QMM_DENSE_M=512 run bench_ttft_dense 1800 python -u bench_all.py --only ttft
 
-# 8. scheduler serving variants
+# 8. scheduler serving variants (default = Pallas paged kernel)
 run bench_sched 2400 python -u bench_all.py --only sched
 run bench_sched_pc 2400 python -u bench_all.py --only sched-pc
 run bench_sched_spec 2400 python -u bench_all.py --only sched-spec
+
+# 9. paged-kernel A/B: same scheduler bench on the XLA gather path
+ACCESSORY_PAGED_KERNEL=0 run bench_sched_gather 2400 python -u bench_all.py --only sched
 
 echo "MATRIX DONE $(date)" >> $OUT/summary.log
 touch /tmp/chip_matrix_done.flag

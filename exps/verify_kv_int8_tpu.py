@@ -55,23 +55,38 @@ assert d_rope < 0.05, d_rope        # same math, kernel vs XLA rounding
 assert d_i8 < 0.35, d_i8            # int8 KV quantization error, tiny model
 assert d_i8n < 0.35, d_i8n
 
-# paged int8 path (scheduler-style): prefill into pools + decode
-pc = llama.init_paged_cache(args, slots=2, total_pages=8, page_size=64,
-                            kv_dtype="int8")
-pfwd = jax.jit(
-    lambda p, t, c, lens: llama.forward_paged(p, args, t, c, lens),
-    donate_argnums=(2,))
-lens = jnp.zeros((2,), jnp.int32)
-logits, pc = pfwd(uparams, toks, pc, lens)
-lens = lens + 8
-pl0 = np.asarray(logits[:, -1])
-for i in range(3):
-    tok = jnp.argmax(logits[:, -1] if logits.shape[1] > 1 else logits[:, 0],
-                     -1)[:, None].astype(jnp.int32)
-    logits, pc = pfwd(uparams, tok, pc, lens)
-    lens = lens + 1
-d_paged = np.max(np.abs(pl0 - i8[0]))
+# paged path (scheduler-style): prefill into pools + decode, for each of
+# (bf16, int8) x (XLA gather, Pallas paged kernel)
+def run_paged(kv_dtype, kernel_mode, n_steps=3):
+    os.environ["ACCESSORY_ROPE_FUSE"] = "0"
+    os.environ["ACCESSORY_PAGED_KERNEL"] = kernel_mode
+    pc = llama.init_paged_cache(args, slots=2, total_pages=8, page_size=64,
+                                kv_dtype=kv_dtype)
+    pfwd = jax.jit(lambda p, t, c: llama.forward_paged(p, args, t, c),
+                   donate_argnums=(2,))
+    logits, pc = pfwd(uparams, toks, pc)
+    outs = [np.asarray(logits[:, -1])]
+    tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+    for i in range(n_steps):
+        logits, pc = pfwd(uparams, tok, pc)
+        outs.append(np.asarray(logits[:, 0]))
+        tok = jnp.argmax(logits[:, 0], -1)[:, None].astype(jnp.int32)
+    return np.stack(outs)
+
+
+pg = run_paged("int8", kernel_mode="0")
+d_paged = np.max(np.abs(pg[0] - i8[0]))
 print(f"paged-int8 prefill max|d| vs unrolled-int8: {d_paged:.4f}",
       flush=True)
 assert d_paged < 0.35, d_paged
-print("VERIFY OK: int8 KV + rope fuse + paged int8 on", jax.default_backend())
+
+# Pallas paged kernel vs the gather path, exact same pools/tokens
+for kv in (None, "int8"):
+    a = run_paged(kv, kernel_mode="0")
+    b = run_paged(kv, kernel_mode="1")
+    d = np.max(np.abs(a - b))
+    print(f"paged kernel vs gather ({kv or 'bf16'}): max|d|={d:.4f}",
+          flush=True)
+    assert d < 0.05, d  # same context bytes, kernel vs XLA rounding only
+print("VERIFY OK: int8 KV + rope fuse + paged (kernel+gather) on",
+      jax.default_backend())
