@@ -284,8 +284,11 @@ def paged_cached_attention(
     from accessory_tpu.ops.attention import cached_attention
 
     mode = os.environ.get("ACCESSORY_PAGED_KERNEL", "1")
+    # sq == 1: decode. 1 < sq <= 16: speculative-verify / short chunks —
+    # still bandwidth-bound, so the kernel wins; large chunks stay on the
+    # gather + dense-attention path (compute-bound, flash handles them).
     use_kernel = (
-        q.shape[1] == 1
+        q.shape[1] <= 16
         and q.shape[-1] % 8 == 0
         and (mode == "interpret"
              or (mode == "1" and jax.default_backend() == "tpu"))

@@ -42,16 +42,24 @@ NEG_INF = -1e30
 
 
 def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
-                  out_ref, k_buf, v_buf, k_sem, v_sem):
-    """Grid (B, NKV). pt/lens in SMEM; q (1,1,R,HD); kn/vn (1,1,HD);
-    kp/vp full (NKV, P, ps, HD) refs in ANY; out (1,1,R,HD);
-    k_buf/v_buf (2, ps, HD) VMEM scratch; k_sem/v_sem DMA((2,))."""
+                  out_ref, k_buf, v_buf, k_sem, v_sem, *, r):
+    """Grid (B, NKV). pt/lens in SMEM; q (1,1,SQ*R,HD) — SQ new-chunk
+    queries per kv head, R = nq//nkv rows each (row t*R+g is query token t,
+    group g); kn/vn (1,1,SQ,HD) the chunk's NEW k/v (not yet in pages);
+    kp/vp full (NKV, P, ps, HD) refs in ANY; out (1,1,SQ*R,HD);
+    k_buf/v_buf (2, ps, HD) VMEM scratch; k_sem/v_sem DMA((2,)).
+
+    All queries see every cached token (< lengths_old) plus a causal block
+    over the chunk's own tokens — the paged form of
+    ops.attention.cached_attention. SQ == 1 is plain decode; SQ > 1 serves
+    the speculative-verify dispatch and short continuation chunks."""
     bi = pl.program_id(0)
     h = pl.program_id(1)
     J = pt_ref.shape[1]
     ps = k_buf.shape[1]
-    q = q_ref[0, 0]                                    # (R, HD)
+    q = q_ref[0, 0]                                    # (SQ*R, HD)
     hd = q.shape[1]
+    sq = kn_ref.shape[2]
     scale = hd ** -0.5
     prec = (jax.lax.Precision.HIGHEST if kp_ref.dtype == jnp.float32
             else None)
@@ -101,30 +109,48 @@ def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
         acc = acc * alpha + pv
         m = m_cur
 
-    kn = kn_ref[0, 0].astype(jnp.float32)              # (HD,)
+    kn = kn_ref[0, 0].astype(jnp.float32)              # (SQ, HD)
     vn = vn_ref[0, 0].astype(jnp.float32)
     qf = q.astype(jnp.float32)
-    s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
-    m_fin = jnp.maximum(m, s_new)
-    a_fin = jnp.exp(m - m_fin)
-    p_new = jnp.exp(s_new - m_fin)
-    denom = denom * a_fin + p_new
-    out = acc * a_fin + p_new * vn[None, :]
+    if sq == 1:
+        s_new = jnp.sum(qf * kn[0][None, :], axis=1,
+                        keepdims=True) * scale         # (R, 1)
+        m_fin = jnp.maximum(m, s_new)
+        a_fin = jnp.exp(m - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        denom = denom * a_fin + p_new
+        out = acc * a_fin + p_new * vn[0][None, :]
+    else:
+        s_new = jax.lax.dot_general(
+            qf, kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (SQ*R, SQ)
+        rowt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 0) // r
+        colt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 1)
+        s_new = jnp.where(colt <= rowt, s_new, NEG_INF)
+        m_fin = jnp.maximum(m, jnp.max(s_new, axis=1, keepdims=True))
+        a_fin = jnp.exp(m - m_fin)
+        p_new = jnp.exp(s_new - m_fin)                 # (SQ*R, SQ)
+        denom = denom * a_fin + jnp.sum(p_new, axis=1, keepdims=True)
+        out = acc * a_fin + jax.lax.dot_general(
+            p_new, vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
 
 
 def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
                    ksp_ref, vsp_ref, out_ref, k_buf, v_buf, ks_buf, vs_buf,
-                   k_sem, v_sem, ks_sem, vs_sem):
+                   k_sem, v_sem, ks_sem, vs_sem, *, r):
     """int8-pool variant: kp/vp int8 + ksp/vsp (NKV, P, ps) f32 per-token
     scales, all in ANY. Scale rows fold into scores/probs (the int8→bf16
-    value upcast is exact for |q| <= 127)."""
+    value upcast is exact for |q| <= 127). The chunk's NEW k/v stay exact
+    (they are quantized only when written to the pool, after this call)."""
     bi = pl.program_id(0)
     h = pl.program_id(1)
     J = pt_ref.shape[1]
     ps = k_buf.shape[1]
-    q = q_ref[0, 0]                                    # (R, HD)
+    q = q_ref[0, 0]                                    # (SQ*R, HD)
     hd = q.shape[1]
+    sq = kn_ref.shape[2]
     scale = hd ** -0.5
     length = lens_ref[bi]
 
@@ -176,41 +202,57 @@ def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
         acc = acc * alpha + pv
         m = m_cur
 
-    kn = kn_ref[0, 0].astype(jnp.float32)
+    kn = kn_ref[0, 0].astype(jnp.float32)              # (SQ, HD)
     vn = vn_ref[0, 0].astype(jnp.float32)
     qf = q.astype(jnp.float32)
-    s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
-    m_fin = jnp.maximum(m, s_new)
-    a_fin = jnp.exp(m - m_fin)
-    p_new = jnp.exp(s_new - m_fin)
-    denom = denom * a_fin + p_new
-    out = acc * a_fin + p_new * vn[None, :]
+    if sq == 1:
+        s_new = jnp.sum(qf * kn[0][None, :], axis=1,
+                        keepdims=True) * scale
+        m_fin = jnp.maximum(m, s_new)
+        a_fin = jnp.exp(m - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        denom = denom * a_fin + p_new
+        out = acc * a_fin + p_new * vn[0][None, :]
+    else:
+        s_new = jax.lax.dot_general(
+            qf, kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (SQ*R, SQ)
+        rowt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 0) // r
+        colt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 1)
+        s_new = jnp.where(colt <= rowt, s_new, NEG_INF)
+        m_fin = jnp.maximum(m, jnp.max(s_new, axis=1, keepdims=True))
+        a_fin = jnp.exp(m - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        denom = denom * a_fin + jnp.sum(p_new, axis=1, keepdims=True)
+        out = acc * a_fin + jax.lax.dot_general(
+            p_new, vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
-                  interpret=False):
-    """q (b, nkv, R, hd); k_new/v_new (b, nkv, hd); pools (nkv, P, ps, hd);
-    page_table (b, J) — already sliced to the active pages."""
-    b, nkv, r, hd = q.shape
+                  r, interpret=False):
+    """q (b, nkv, SQ*R, hd); k_new/v_new (b, nkv, SQ, hd); pools
+    (nkv, P, ps, hd); page_table (b, J) — sliced to the active pages."""
+    b, nkv, m, hd = q.shape
+    sq = k_new.shape[2]
     ps = k_pages.shape[2]
-    head4 = lambda i, j, pt, lens: (i, j, 0, 0)
-    head3 = lambda i, j, pt, lens: (i, j, 0)
+    head = lambda i, j, pt, lens: (i, j, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        _paged_kernel,
+        functools.partial(_paged_kernel, r=r),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nkv),
             in_specs=[
-                pl.BlockSpec((1, 1, r, hd), head4, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m, hd), head, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq, hd), head, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq, hd), head, memory_space=pltpu.VMEM),
                 any_spec,
                 any_spec,
             ],
-            out_specs=pl.BlockSpec((1, 1, r, hd), head4,
+            out_specs=pl.BlockSpec((1, 1, m, hd), head,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, ps, hd), k_pages.dtype),
@@ -219,32 +261,32 @@ def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, m, hd), q.dtype),
         interpret=interpret,
     )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
       q, k_new, v_new, k_pages, v_pages)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
-                   lengths, page_table, interpret=False):
-    b, nkv, r, hd = q.shape
+                   lengths, page_table, r, interpret=False):
+    b, nkv, m, hd = q.shape
+    sq = k_new.shape[2]
     ps = k_pages.shape[2]
-    head4 = lambda i, j, pt, lens: (i, j, 0, 0)
-    head3 = lambda i, j, pt, lens: (i, j, 0)
+    head = lambda i, j, pt, lens: (i, j, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        _paged_kernel8,
+        functools.partial(_paged_kernel8, r=r),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nkv),
             in_specs=[
-                pl.BlockSpec((1, 1, r, hd), head4, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, hd), head3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, m, hd), head, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq, hd), head, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sq, hd), head, memory_space=pltpu.VMEM),
                 any_spec, any_spec, any_spec, any_spec,
             ],
-            out_specs=pl.BlockSpec((1, 1, r, hd), head4,
+            out_specs=pl.BlockSpec((1, 1, m, hd), head,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, ps, hd), jnp.int8),
@@ -257,7 +299,7 @@ def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nkv, m, hd), q.dtype),
         interpret=interpret,
     )(page_table.astype(jnp.int32), lengths.astype(jnp.int32),
       q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages)
@@ -268,23 +310,28 @@ def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
                            vs_pages=None, interpret=False):
     """Decode attention over paged pools + the new token, Pallas path.
 
-    Same contract as engine.kvcache.paged_cached_attention: q (b, 1, nq,
-    hd), k_new/v_new (b, 1, nkv, hd), pools (n_kv, P, ps, hd) read-only,
-    ``lengths_old`` excludes the new token. Returns (b, 1, nq, hd).
+    Same contract as engine.kvcache.paged_cached_attention: q (b, sq, nq,
+    hd), k_new/v_new (b, sq, nkv, hd), pools (n_kv, P, ps, hd) read-only,
+    ``lengths_old`` excludes the new tokens. sq == 1 is decode; small
+    sq > 1 (speculative verify / short continuation chunks) runs causal
+    within the chunk. Returns (b, sq, nq, hd).
     """
     b, sq, nq, hd = q.shape
-    assert sq == 1, "paged kernel is decode-only (sq == 1)"
     nkv = k_new.shape[2]
+    r = nq // nkv
     pt = page_indices
     if active_pages is not None:
         pt = pt[:, :active_pages]
-    qg = q.reshape(b, nkv, nq // nkv, hd)
-    kn = k_new.reshape(b, nkv, hd)
-    vn = v_new.reshape(b, nkv, hd)
+    qg = q.reshape(b, sq, nkv, r, hd).transpose(0, 2, 1, 3, 4)
+    qg = qg.reshape(b, nkv, sq * r, hd)
+    kn = k_new.transpose(0, 2, 1, 3)  # (b, nkv, sq, hd)
+    vn = v_new.transpose(0, 2, 1, 3)
     if ks_pages is not None:
         out = _paged_decode8(qg, kn, vn, k_pages, v_pages, ks_pages,
-                             vs_pages, lengths_old, pt, interpret=interpret)
+                             vs_pages, lengths_old, pt, r=r,
+                             interpret=interpret)
     else:
         out = _paged_decode(qg, kn, vn, k_pages, v_pages, lengths_old, pt,
-                            interpret=interpret)
-    return out.reshape(b, 1, nq, hd)
+                            r=r, interpret=interpret)
+    out = out.reshape(b, nkv, sq, r, hd).transpose(0, 2, 1, 3, 4)
+    return out.reshape(b, sq, nq, hd)

@@ -235,7 +235,7 @@ def bench_prefill_ttft(batch=1, prompt_len=2048):
 def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
                     gen_len=64, page_size=64, decode_steps=8,
                     prefix_cache=False, spec_lookup=0, shared_prefix=0,
-                    tag=""):
+                    max_seq_len=512, tag=""):
     """Continuous-batching serving benchmark: Poisson arrivals into the
     scheduler; reports p50 TTFT and aggregate generated tok/s (the serving
     role of reference multi_gpu_wrapper.py:143-321).
@@ -274,8 +274,8 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
             return " ".join(map(str, ids))
 
     args = LLaMAArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
-                     vocab_size=32000, multiple_of=256, max_seq_len=512,
-                     dtype="bfloat16")
+                     vocab_size=32000, multiple_of=256,
+                     max_seq_len=max_seq_len, dtype="bfloat16")
     params = synthetic_quantized_params(
         lambda: llama.init_params(jax.random.PRNGKey(0), args),
         jax.random.PRNGKey(0))
@@ -344,7 +344,7 @@ if __name__ == "__main__":
     ap.add_argument("--only", default=None,
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
                              "sched", "longctx", "kv8", "kv8-longctx",
-                             "sched-pc", "sched-spec"])
+                             "sched-pc", "sched-spec", "sched-long"])
     a = ap.parse_args()
     if a.only == "sched":
         bench_scheduler()
@@ -354,6 +354,11 @@ if __name__ == "__main__":
                         tag="prefix-cache")
     if a.only == "sched-spec":
         bench_scheduler(spec_lookup=4, decode_steps=1, tag="spec-lookup")
+    if a.only == "sched-long":
+        # long-prompt serving: context reads dominate decode — the regime
+        # the Pallas paged kernel (vs dense gather) is built for
+        bench_scheduler(slots=4, n_requests=8, rate=0.5, prompt_len=2048,
+                        gen_len=128, max_seq_len=4096, tag="2k-prompt")
     if a.only in (None, "tiny"):
         bench_llama_decode("TinyLlama-1.1B",
                            dict(dim=2048, n_layers=22, n_heads=32,

@@ -49,5 +49,9 @@ run bench_sched_spec 2400 python -u bench_all.py --only sched-spec
 # 9. paged-kernel A/B: same scheduler bench on the XLA gather path
 ACCESSORY_PAGED_KERNEL=0 run bench_sched_gather 2400 python -u bench_all.py --only sched
 
+# 10. long-prompt serving (2k prompts, 4k pool) — kernel vs gather
+run bench_sched_long 2400 python -u bench_all.py --only sched-long
+ACCESSORY_PAGED_KERNEL=0 run bench_sched_long_gather 2400 python -u bench_all.py --only sched-long
+
 echo "MATRIX DONE $(date)" >> $OUT/summary.log
 touch /tmp/chip_matrix_done.flag

@@ -189,3 +189,42 @@ def test_forward_paged_decode_via_kernel(monkeypatch):
 
     for a, b_ in zip(run("0"), run("interpret")):
         np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-4)
+
+
+def test_paged_kernel_multi_query_chunk():
+    """sq > 1 (speculative-verify shape): causal within the chunk, full
+    visibility of cached tokens — matches cached_attention on the gather."""
+    b, nq, nkv, hd, ps, pps, sq = 2, 8, 2, 32, 8, 4, 5
+    lengths = jnp.array([13, 2], jnp.int32)
+    kp, vp, _, _, pt = _mk_pool(jax.random.PRNGKey(6), b, nkv, hd, ps, pps,
+                                total_pages=b * pps + 2, lengths=lengths)
+    q = jax.random.normal(jax.random.PRNGKey(21), (b, sq, nq, hd), jnp.float32)
+    kn = jax.random.normal(jax.random.PRNGKey(22), (b, sq, nkv, hd), jnp.float32)
+    vn = jax.random.normal(jax.random.PRNGKey(23), (b, sq, nkv, hd), jnp.float32)
+    kd, vd = gather_pages(kp, vp, pt)
+    want = cached_attention(q, kn, vn, kd, vd, lengths)
+    got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_kernel_multi_query_int8():
+    b, nq, nkv, hd, ps, pps, sq = 2, 4, 4, 64, 8, 4, 3
+    lengths = jnp.array([9, 17], jnp.int32)
+    kp, vp, ksp, vsp, pt = _mk_pool(
+        jax.random.PRNGKey(7), b, nkv, hd, ps, pps,
+        total_pages=b * pps + 2, lengths=lengths, kv_dtype="int8")
+    q = jax.random.normal(jax.random.PRNGKey(24), (b, sq, nq, hd),
+                          jnp.float32).astype(jnp.bfloat16)
+    kn = jax.random.normal(jax.random.PRNGKey(25), (b, sq, nkv, hd),
+                           jnp.float32).astype(jnp.bfloat16)
+    vn = jax.random.normal(jax.random.PRNGKey(26), (b, sq, nkv, hd),
+                           jnp.float32).astype(jnp.bfloat16)
+    kd, vd = gather_pages(kp, vp, pt, ks_pages=ksp, vs_pages=vsp)
+    want = cached_attention(q, kn, vn, kd, vd, lengths)
+    got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
+                                 ks_pages=ksp, vs_pages=vsp, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2)
