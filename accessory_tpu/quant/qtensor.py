@@ -253,6 +253,89 @@ def dequantize_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
     return w.reshape(qw.in_dim, qw.out_dim).astype(dtype)
 
 
+def dense_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
+    """Layout-dispatching XLA dequant → (in_dim, out_dim) dense weight.
+
+    Used by the large-m dequant-once path and by the quant-matmul backward
+    rule (QPEFT: dL/dx = dL/dy @ W^T flows through every frozen quantized
+    layer, reference peft.py LoRA over bnb Linear4bit base)."""
+    dtype = dtype or qw.act_dtype
+    if qw.layout == "std":
+        return dequantize_weight(qw, dtype)
+    if qw.layout == "planes":
+        from accessory_tpu.ops.quant_matmul_planes import unpack_planes
+
+        return unpack_planes(qw.packed, qw.in_dim, qw.tile_k, qw.group_size,
+                             qw.scales, qw.zeros, dtype=dtype)
+    if qw.layout == "w8":
+        g = qw.group_size
+        qf = qw.packed.astype(jnp.float32).reshape(qw.in_dim // g, g,
+                                                   qw.out_dim)
+        w = (qf * qw.scales.astype(jnp.float32)[:, None, :]
+             - qw.zeros.astype(jnp.float32)[:, None, :])
+        return w.reshape(qw.in_dim, qw.out_dim).astype(dtype)
+    raise NotImplementedError(f"dense_weight for layout {qw.layout!r}")
+
+
+def _qw_from_aux(aux, packed, scales, zeros) -> QuantizedWeight:
+    bits, g, in_dim, out_dim, adt_name, layout, tk = aux
+    return QuantizedWeight(packed, scales, zeros, bits, g, in_dim, out_dim,
+                           jnp.dtype(adt_name), layout, tk)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _kernel_qmm(aux, x2d, packed, scales, zeros):
+    """Differentiable wrapper over the fused Pallas kernels (no-fusion
+    form): forward runs the kernel; backward runs the XLA dequant
+    transpose. Pallas calls have no autodiff rule, so without this QPEFT
+    training (frozen W4/W8 base + trainable LoRA/norm/bias) fails on TPU —
+    activation gradients must cross every frozen quantized matmul. The
+    weight cotangents are structural zeros (packed is integer → float0);
+    partition_params never requests them."""
+    return _kernel_qmm_impl(aux, x2d, packed, scales, zeros)
+
+
+def _kernel_qmm_impl(aux, x2d, packed, scales, zeros):
+    bits, g, in_dim, out_dim, adt_name, layout, tk = aux
+    interp = jax.default_backend() != "tpu"
+    if layout == "planes":
+        from accessory_tpu.ops.quant_matmul_planes import planes_qmm
+
+        return planes_qmm(x2d, packed, scales, zeros, group_size=g, tk=tk,
+                          interpret=interp)
+    if layout == "w8":
+        from accessory_tpu.ops.quant_matmul_w8 import w8_qmm
+
+        return w8_qmm(x2d, packed, scales, zeros, group_size=g, tk=tk,
+                      interpret=interp)
+    from accessory_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
+
+    return quant_matmul_pallas(x2d, _qw_from_aux(aux, packed, scales, zeros))
+
+
+def _kernel_qmm_fwd(aux, x2d, packed, scales, zeros):
+    return _kernel_qmm_impl(aux, x2d, packed, scales, zeros), (
+        packed, scales, zeros)
+
+
+def _kernel_qmm_bwd(aux, res, g_out):
+    packed, scales, zeros = res
+    adt = jnp.dtype(aux[4])
+    w = dense_weight(_qw_from_aux(aux, packed, scales, zeros))
+    dx = jnp.dot(g_out.astype(w.dtype), w.T).astype(adt)
+    return (dx, np.zeros(packed.shape, jax.dtypes.float0),
+            jnp.zeros_like(scales), jnp.zeros_like(zeros))
+
+
+_kernel_qmm.defvjp(_kernel_qmm_fwd, _kernel_qmm_bwd)
+
+
+def _kernel_qmm_dispatch(x2d, qw: QuantizedWeight):
+    aux = (qw.bits, qw.group_size, qw.in_dim, qw.out_dim,
+           jnp.dtype(qw.act_dtype).name, qw.layout, qw.tile_k)
+    return _kernel_qmm(aux, x2d, qw.packed, qw.scales, qw.zeros)
+
+
 def _dense_fused(x, w, norm_weight, norm_eps, residual, rope):
     """Dense-weight equivalent of the fused kernel call: same op order as
     the unfused module_linear_nr path (rms_norm → dot → rope → +residual),
@@ -310,6 +393,10 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
                 qw.packed, qw.in_dim, qw.tile_k, qw.group_size,
                 qw.scales, qw.zeros, dtype=qw.act_dtype),
                 norm_weight, norm_eps, residual, rope)
+        if norm_weight is None and residual is None and rope is None:
+            # differentiable wrapper (QPEFT backward crosses this matmul)
+            out = _kernel_qmm_dispatch(x2d, qw)
+            return out.reshape(*lead, qw.out_dim)
         # rope: (cos_row (N,), sin_row (N,), style, head_dim) — decode
         # RoPE epilogue (ops.rope.rope_rows)
         rope_cos, rope_sin, rope_style, rope_hd = (
@@ -329,13 +416,11 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
         x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
         dense_m = int(os.environ.get("ACCESSORY_QMM_DENSE_M", "0"))
         if dense_m and x2d.shape[0] >= dense_m:
-            g = qw.group_size
-            qf = qw.packed.astype(jnp.float32).reshape(
-                qw.in_dim // g, g, qw.out_dim)
-            w = (qf * qw.scales.astype(jnp.float32)[:, None, :]
-                 - qw.zeros.astype(jnp.float32)[:, None, :]).reshape(
-                qw.in_dim, qw.out_dim).astype(qw.act_dtype)
-            return _dense_fused(x, w, norm_weight, norm_eps, residual, rope)
+            return _dense_fused(x, dense_weight(qw), norm_weight, norm_eps,
+                                residual, rope)
+        if norm_weight is None and residual is None and rope is None:
+            out = _kernel_qmm_dispatch(x2d, qw)
+            return out.reshape(*lead, qw.out_dim)
         res2d = (None if residual is None
                  else residual.reshape(-1, qw.out_dim))
         rope_cos, rope_sin, rope_style, rope_hd = (
@@ -372,8 +457,8 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
         and qw.out_dim % 128 == 0
     )
     if use_pallas and eligible:
-        from accessory_tpu.ops.quant_matmul_pallas import quant_matmul_pallas
-
-        return quant_matmul_pallas(x, qw)
+        lead = x.shape[:-1]
+        x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
+        return _kernel_qmm_dispatch(x2d, qw).reshape(*lead, qw.out_dim)
     w = dequantize_weight(qw)
     return jnp.dot(x.astype(qw.act_dtype), w)

@@ -72,7 +72,17 @@ def make_optimizer(
          "frozen": optax.set_to_zero()},
         labels)
     if clip_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+        # mask the clip to float leaves: QPEFT's static placeholder "grads"
+        # (zeros_like of uint32 packed weights) would otherwise crash
+        # lax.select inside clip_by_global_norm with a dtype mismatch
+        def _float_mask(tree):
+            return jax.tree.map(
+                lambda x: hasattr(x, "dtype")
+                and jnp.issubdtype(x.dtype, jnp.floating), tree)
+
+        tx = optax.chain(
+            optax.masked(optax.clip_by_global_norm(clip_norm), _float_mask),
+            tx)
     return tx
 
 

@@ -227,3 +227,39 @@ def test_dense_m_dispatch_matches_kernel(monkeypatch):
     got = quant_matmul(x, qp, norm_weight=nw, residual=res)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_quant_matmul_grad_through_kernel():
+    """QPEFT backward: dL/dx crosses the frozen quantized matmul via the
+    custom_vjp (kernel forward, XLA dequant transpose backward). Without
+    it, training any PEFT model on TPU dies in the Pallas transpose rule
+    (reference role: LoRA over bnb Linear4bit, peft.py:23-268)."""
+    from accessory_tpu.quant.qtensor import dense_weight, to_w8_layout
+    from accessory_tpu.quant.quantize import quantize_weight as _qweight
+
+    k, n, gs = 512, 256, 128
+    x = jax.random.normal(jax.random.PRNGKey(11), (16, k), jnp.float32)
+    g_out = jax.random.normal(jax.random.PRNGKey(12), (16, n), jnp.float32)
+
+    for mk in (lambda: to_planes_layout(_mk(k, n, gs, act=jnp.float32)),
+               lambda: _mk_w8(k, n, gs)):
+        qp = mk()
+
+        def loss(xx):
+            return jnp.sum(quant_matmul(xx, qp) * g_out)
+
+        dx = jax.grad(loss)(x)
+        w = dense_weight(qp, jnp.float32)
+        ref = g_out @ w.T
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
+                                   rtol=2e-2, atol=float(
+                                       jnp.abs(ref).max()) * 2e-2)
+
+
+def _mk_w8(k, n, gs, seed=0):
+    from accessory_tpu.quant.qtensor import quantize_weight, to_w8_layout
+
+    w = jax.random.normal(jax.random.PRNGKey(seed), (k, n),
+                          jnp.float32) * k ** -0.5
+    return to_w8_layout(quantize_weight(w, bits=8, group_size=gs,
+                                        act_dtype=jnp.float32))

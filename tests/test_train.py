@@ -203,3 +203,33 @@ def test_promote_trainable_params_to_fp32():
     out = promote_trainable_params_to_fp32(params, f)
     assert out["layers"]["attention"]["wq"]["lora_a"].dtype == jnp.float32
     assert out["layers"]["attention"]["wq"]["weight"].dtype == jnp.bfloat16
+
+
+def test_qpeft_train_step_with_clip_through_kernel_layout():
+    """QPEFT + global-norm clip end-to-end: the frozen base is W4 in the
+    planes kernel layout (what a TPU finetune actually runs), so the
+    backward crosses the custom_vjp of the fused kernel, and the static
+    uint32 packed leaves must not break clip_by_global_norm (both were
+    real on-chip failure modes; reference regime: NormBiasLoRA over
+    Linear4bit, docs/finetune/quantization.md)."""
+    from accessory_tpu.quant import quantize_params
+
+    args = LLaMAArgs(dim=128, n_layers=2, n_heads=2, n_kv_heads=2,
+                     vocab_size=64, multiple_of=64, max_seq_len=16,
+                     dtype="float32", lora_rank=4, bias_tuning=True,
+                     norm_tuning=True)
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    qp = quantize_params(params, bits=4, group_size=64, layout="planes")
+    trainable = llama.get_trainable_params_filter(args)
+    tx = make_optimizer(qp, 1e-2, weight_decay=0.0, clip_norm=1.0,
+                        trainable=trainable)
+    state = TrainState.create(qp, tx)
+    step = make_train_step(llama, args, tx, remat=True)
+    batch = {"examples": jnp.ones((2, 16), jnp.int32) * 5,
+             "labels": jnp.ones((2, 16), jnp.int32) * 7}
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["c_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # LoRA/bias/norm actually learn
