@@ -107,9 +107,38 @@ def _host_synthetic_w4(args, group_size=128):
     return jtu.tree_map_with_path(visit, shapes)
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """Fail fast when the TPU relay is unreachable: jax.devices() and even
+    tiny transfers hang FOREVER during relay outages (observed hours-long),
+    which would hang the whole bench run. Probe with a tiny matmul + host
+    fetch in a daemon thread; give up after ``timeout_s`` (first tiny
+    compile through a healthy relay is ~10-40 s)."""
+    import threading
+
+    ok = []
+
+    def _try():
+        x = jnp.ones((8, 8), jnp.float32)
+        ok.append(float(np.asarray((x @ x))[0, 0]))
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main() -> None:
     from accessory_tpu.config import LLaMAArgs
     from accessory_tpu.models import llama
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "TinyLlama-1.1B W4A16 decode bs8",
+            "value": 0.0, "unit": "tok/s", "vs_baseline": 0.0,
+            "error": "TPU relay unreachable (device probe timed out); "
+                     "see BENCHMARKS.md for last measured numbers"}),
+            flush=True)
+        return
 
     args = LLaMAArgs(dim=2048, n_layers=22, n_heads=32, n_kv_heads=4,
                      vocab_size=32000, multiple_of=256, max_seq_len=CACHE_LEN,

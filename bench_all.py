@@ -93,7 +93,8 @@ def synthetic_quantized_params(init_fn, key, group_size=128):
         name = _path_str(path)
         kk = jax.random.fold_in(key, hash(name) % (1 << 30))
         quantizable = (
-            not any(b in name for b in tuple(DEFAULT_BLOCKLIST) + ("output",))
+            not any(b in name for b in tuple(DEFAULT_BLOCKLIST)
+                    + ("output", "lora", "bias"))
             and jnp.issubdtype(s.dtype, jnp.floating)
             and ((s.ndim == 3 and s.shape[1] % group_size == 0)
                  or (s.ndim == 4 and s.shape[2] % group_size == 0)))
@@ -232,6 +233,153 @@ def bench_prefill_ttft(batch=1, prompt_len=2048):
         "vs_baseline": round(batch * prompt_len / dt, 1)}), flush=True)
 
 
+PEAK_FLOPS = 197e12  # v5e spec bf16 (measured asymptote 183 = 93%)
+
+
+def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
+                         multiple_of=4096, vocab=32000, n1=10, n2=50):
+    """LLaMA2-70B W4A16 decode, projected from measured 70B-shaped layers
+    (BASELINE north star names 70B; the full model is 34 GB W4 — a v5p/
+    multi-chip footprint — so we measure REAL 70B layers (dim 8192, GQA
+    8 kv heads, ffn 28672) at L=4 and L=8 on this chip and fit
+    t(L) = t0 + L*dt: per-layer time is exact, head/embed/dispatch
+    overhead lands in t0, and t(80) is the single-chip-equivalent step
+    time. vs_baseline is the same HBM roofline used for the other decode
+    benches, scaled to the full 80-layer weight+KV footprint."""
+    import dataclasses
+
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+    from accessory_tpu.quant.fuse import fuse_for_decode
+
+    args8 = LLaMAArgs(dim=dim, n_layers=8, n_heads=n_heads, n_kv_heads=8,
+                      vocab_size=vocab, multiple_of=multiple_of,
+                      ffn_dim_multiplier=1.3, max_seq_len=cache_len,
+                      dtype="bfloat16")
+    params = synthetic_quantized_params(
+        lambda: llama.init_params(jax.random.PRNGKey(0), args8),
+        jax.random.PRNGKey(0))
+    params = llama.unstack_layers(fuse_for_decode(params))
+    tok = jnp.ones((batch, 1), jnp.int32)
+
+    times = {}
+    for L in (4, 8):
+        argsL = dataclasses.replace(args8, n_layers=L)
+        pL = dict(params, layers=params["layers"][:L])
+        cache = llama.init_kv_cache(argsL, batch, max_len=cache_len,
+                                    stacked=False)
+        step = jax.jit(lambda p, t, c, pos, a=argsL: llama.forward(
+            p, a, t, cache=c, cur_pos=pos), donate_argnums=(2,))
+        times[L] = timed_steps(step, pL, tok, cache, n1=10, n2=50)
+
+    dt_layer = (times[8] - times[4]) / 4
+    t80 = times[4] + 76 * dt_layer
+    layer_bytes = weight_bytes(params["layers"][0])
+    other_bytes = weight_bytes(
+        {k: v for k, v in params.items() if k != "layers"})
+    kv = int(80 * cache_len * 8 * args8.head_dim * 2 * 2)  # 8 kv heads, bf16
+    roof = HBM_BW / ((80 * layer_bytes + other_bytes) / batch + kv)
+    print(json.dumps({
+        "metric": f"decode tok/s/chip LLaMA2-70B W4A16 bs{batch} "
+                  "(projected from measured 70B layers)",
+        "value": round(batch / t80, 1), "unit": "tok/s",
+        "vs_baseline": round(batch / t80 / roof, 4),
+        "ms_per_layer": round(dt_layer * 1e3, 3),
+        "measured_L4_ms": round(times[4] * 1e3, 2),
+        "measured_L8_ms": round(times[8] * 1e3, 2)}), flush=True)
+
+
+def _matmul_param_count(tree):
+    """Matmul-visited parameter count (embedding lookup excluded, lm head
+    included) — the N in the 6N-flops-per-token convention."""
+    from accessory_tpu.quant.qtensor import QuantizedWeight
+
+    total = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            tree, is_leaf=lambda x: isinstance(x, QuantizedWeight))[0]:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "tok_embeddings" in name or "norm" in name:
+            continue
+        if isinstance(leaf, QuantizedWeight):
+            total += int(np.prod(leaf.packed.shape[:-2], initial=1)) \
+                * leaf.in_dim * leaf.out_dim
+        elif getattr(leaf, "ndim", 0) >= 2:
+            total += int(np.prod(leaf.shape))
+    return total
+
+
+def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3, n2=10):
+    """Training-step throughput + MFU (the reference's headline finetune
+    numbers are GPU-hours for exactly these two regimes: full finetune and
+    quantized-base PEFT, docs/finetune/quantization.md:41-46).
+
+    qpeft=False: bf16 model promoted to fp32 masters, AdamW on everything
+    (main_finetune full mode). qpeft=True: frozen W4 base + LoRA/bias/norm
+    trainable (NormBiasLoRA over Linear4bit, reference quant.py+peft.py).
+    MFU uses model flops (6N full / 4N qpeft — no dW for frozen weights,
+    plus causal-attention flops); hw_util adds remat recompute.
+    """
+    from accessory_tpu.config import LLaMAArgs
+    from accessory_tpu.models import llama
+    from accessory_tpu.train import (
+        TrainState, make_optimizer, make_train_step)
+    from accessory_tpu.train.precision import promote_trainable_params_to_fp32
+
+    args = LLaMAArgs(max_seq_len=seq_len, dtype="bfloat16", **args_kw)
+    if qpeft:
+        params = synthetic_quantized_params(
+            lambda: llama.init_params(jax.random.PRNGKey(0), args),
+            jax.random.PRNGKey(0))
+        trainable = llama.get_trainable_params_filter(args)
+    else:
+        params = llama.init_params(jax.random.PRNGKey(0), args)
+        trainable = None
+    params = promote_trainable_params_to_fp32(params, trainable)
+    tx = make_optimizer(params, 1e-4, weight_decay=0.02, clip_norm=2.0,
+                        trainable=trainable)
+    state = TrainState.create(params, tx)
+    step_fn = jax.jit(make_train_step(llama, args, tx, remat=True),
+                      donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "examples": jnp.asarray(rng.randint(3, 32000, (batch, seq_len)),
+                                jnp.int32),
+        "labels": jnp.asarray(rng.randint(3, 32000, (batch, seq_len)),
+                              jnp.int32)}
+    state, metrics = step_fn(state, batch_data)  # compile
+    fetch(metrics["loss"])
+
+    def run(n, state):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step_fn(state, batch_data)
+        fetch(metrics["loss"])
+        return time.perf_counter() - t0, state
+
+    t1, state = run(n1, state)
+    t2, state = run(n1 + n2, state)
+    dt = (t2 - t1) / n2
+    tok_s = batch * seq_len / dt
+
+    P = _matmul_param_count(params)
+    d_attn = args.n_heads * (args.dim // args.n_heads)
+    attn_fwd = 2 * seq_len * d_attn * args.n_layers  # causal avg S/2
+    if qpeft:
+        model_tok = 4 * P + 3 * attn_fwd  # no dW for the frozen base
+        hw_tok = 6 * P + 4 * attn_fwd     # + remat forward recompute
+    else:
+        model_tok = 6 * P + 3 * attn_fwd
+        hw_tok = 8 * P + 4 * attn_fwd
+    print(json.dumps({
+        "metric": f"train step {name} bs{batch}x{seq_len}"
+                  + (" QPEFT-W4" if qpeft else " full-finetune"),
+        "value": round(tok_s, 1), "unit": "tok/s",
+        "vs_baseline": round(model_tok * tok_s / PEAK_FLOPS, 4),
+        "model_tflops": round(model_tok * tok_s / 1e12, 1),
+        "hw_util": round(hw_tok * tok_s / PEAK_FLOPS, 4)}), flush=True)
+
+
 def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
                     gen_len=64, page_size=64, decode_steps=8,
                     prefix_cache=False, spec_lookup=0, shared_prefix=0,
@@ -344,7 +492,8 @@ if __name__ == "__main__":
     ap.add_argument("--only", default=None,
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
                              "sched", "longctx", "kv8", "kv8-longctx",
-                             "sched-pc", "sched-spec", "sched-long"])
+                             "sched-pc", "sched-spec", "sched-long",
+                             "train", "train-qpeft", "70b"])
     a = ap.parse_args()
     if a.only == "sched":
         bench_scheduler()
@@ -359,6 +508,26 @@ if __name__ == "__main__":
         # the Pallas paged kernel (vs dense gather) is built for
         bench_scheduler(slots=4, n_requests=8, rate=0.5, prompt_len=2048,
                         gen_len=128, max_seq_len=4096, tag="2k-prompt")
+    if a.only == "70b":
+        bench_70b_projection()
+    if a.only == "train":
+        # full finetune sized for fp32 masters + AdamW on one 16GB chip
+        # (TinyLlama at fp32 p+g+m+v = 17.6GB does NOT fit — the single-chip
+        # full-finetune ceiling is ~800M params, same math as the
+        # reference's per-GPU VRAM tables)
+        bench_train_step("LLaMA-700M-class",
+                         dict(dim=2048, n_layers=12, n_heads=16,
+                              n_kv_heads=8, vocab_size=32000,
+                              multiple_of=256),
+                         batch=2, seq_len=2048)
+    if a.only == "train-qpeft":
+        # the reference's NormBiasLoRA-over-Linear4bit headline regime
+        bench_train_step("LLaMA2-7B",
+                         dict(dim=4096, n_layers=32, n_heads=32,
+                              vocab_size=32000, multiple_of=256,
+                              lora_rank=16, bias_tuning=True,
+                              norm_tuning=True),
+                         batch=8, seq_len=512, qpeft=True)
     if a.only in (None, "tiny"):
         bench_llama_decode("TinyLlama-1.1B",
                            dict(dim=2048, n_layers=22, n_heads=32,

@@ -53,5 +53,12 @@ ACCESSORY_PAGED_KERNEL=0 run bench_sched_gather 2400 python -u bench_all.py --on
 run bench_sched_long 2400 python -u bench_all.py --only sched-long
 ACCESSORY_PAGED_KERNEL=0 run bench_sched_long_gather 2400 python -u bench_all.py --only sched-long
 
+# 11. training-step throughput/MFU (reference headline: finetune GPU-hours)
+run bench_train 2400 python -u bench_all.py --only train
+run bench_train_qpeft 2400 python -u bench_all.py --only train-qpeft
+
+# 12. 70B decode projection from real measured 70B-shaped layers
+run bench_70b 2400 python -u bench_all.py --only 70b
+
 echo "MATRIX DONE $(date)" >> $OUT/summary.log
 touch /tmp/chip_matrix_done.flag
