@@ -83,7 +83,29 @@ def make_train_step(
     scanned (grad-accum without extra memory).
     """
 
+    compute_dtype = jnp.dtype(getattr(args, "dtype", "float32"))
+
+    def _autocast(params):
+        """The reference's autocast role (tensor_type.py default_tensor_type
+        + fp32 masters): params live as fp32 masters in the optimizer, but
+        the forward/backward computes in the model dtype — halving
+        activation HBM traffic vs running the whole graph in fp32. The cast
+        is inside the differentiated function, so weight cotangents
+        accumulate back into fp32."""
+        if compute_dtype == jnp.float32:
+            return params
+
+        def cast(x):
+            if hasattr(x, "bits") and hasattr(x, "packed"):
+                return x
+            if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                return x.astype(compute_dtype)
+            return x
+
+        return jax.tree.map(cast, params, is_leaf=_qw)
+
     def loss_fn(params, examples, labels, images=None):
+        params = _autocast(params)
         kwargs = {}
         if images is not None:
             kwargs["images"] = images  # multimodal families (sphinx*)

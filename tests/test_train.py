@@ -233,3 +233,34 @@ def test_qpeft_train_step_with_clip_through_kernel_layout():
         losses.append(float(metrics["c_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # LoRA/bias/norm actually learn
+
+
+def test_autocast_bf16_compute_with_fp32_masters():
+    """fp32-master params + bf16 model dtype: the step must cast compute to
+    bf16 inside the differentiated graph (reference default_tensor_type +
+    promote_trainable_params_to_fp32 pairing) while updates/masters remain
+    fp32 and training still converges."""
+    from accessory_tpu.train.precision import promote_trainable_params_to_fp32
+
+    args = LLaMAArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=2,
+                     vocab_size=64, multiple_of=16, max_seq_len=16,
+                     dtype="bfloat16")
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    params = promote_trainable_params_to_fp32(params)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(params)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    tx = make_optimizer(params, 1e-2, weight_decay=0.0, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(llama, args, tx)
+    batch = {"examples": jnp.ones((2, 16), jnp.int32) * 5,
+             "labels": jnp.ones((2, 16), jnp.int32) * 9}
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["c_loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    # masters stayed fp32 through the update
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.params)
+               if jnp.issubdtype(l.dtype, jnp.floating))
