@@ -307,3 +307,40 @@ def test_speculative_falls_back_for_sampled_requests(model):
         cb.step()
     assert cb.spec_steps == 0  # mixed batch → no speculative dispatches
     assert len(cb.finished) == 2
+
+
+def test_randomized_soak_invariants(model):
+    """Churn test: random prompt/gen lengths, shared prefixes, sampling mix,
+    a pool small enough to force preemption + prefix eviction, multi-step
+    decode. Invariants at drain: every request finished with a bounded
+    token budget, and the pool accounting balances — free pages + pages
+    still held by the prefix cache == total (minus the trash page)."""
+    rng = np.random.RandomState(7)
+    words = "the quick brown fox jumps over lazy dog hello world this".split()
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=4, page_size=32,
+                           total_pages=4 * 3 + 1, decode_steps=2,
+                           prefix_cache=True)
+    shared = "the quick brown fox jumps over "
+    uids = {}
+    for i in range(24):
+        prompt = (shared if rng.rand() < 0.5 else "") + " ".join(
+            rng.choice(words, rng.randint(2, 30)))
+        gl = int(rng.randint(2, 12))
+        uids[cb.add_request(prompt, max_gen_len=gl,
+                            temperature=float(rng.choice([0.0, 0.8])))] = gl
+        # interleave stepping with submission (mid-flight admission)
+        if i % 3 == 0:
+            cb.step()
+    guard = 0
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+        guard += 1
+        assert guard < 2000, "scheduler failed to drain"
+    assert len(cb.finished) == 24
+    for r in cb.finished:
+        assert len(r.output_tokens) <= uids[r.uid]
+    # page accounting: all slots empty; prefix map holds the only live refs
+    held = len(cb._prefix_map)
+    assert cb.pool.free_pages + held == cb.total_pages - 1
+    assert all(not v for v in cb.slot_pages.values())
