@@ -145,8 +145,12 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
     # scales/zeros blocks span the full (tiny) group dim; dynamic sublane
     # slices need provable 8-alignment, so roll the wanted groups to the top
     # and slice statically (same trick as the v1 kernel).
-    s_all = pltpu.roll(scales_ref[:], -g0, 0)[:G]    # (G, TN) f32
-    zs_all = pltpu.roll(zs_ref[:], -g0, 0)[:G]       # zeros*scales, f32
+    # scales/zs may be stored f16/bf16 in HBM (ACCESSORY_SCALES_DTYPE —
+    # halves their share of the weight stream); all math stays f32, so
+    # convert the whole block up front (roll in f32 also sidesteps any
+    # sub-sublane alignment constraint of 16-bit rolls)
+    s_all = pltpu.roll(scales_ref[:].astype(jnp.float32), -g0, 0)[:G]
+    zs_all = pltpu.roll(zs_ref[:].astype(jnp.float32), -g0, 0)[:G]
     x = x_ref[:]                               # (TM, tk)
     if has_norm:
         # fused RMSNorm prologue (requires K == tk: the whole row is here).

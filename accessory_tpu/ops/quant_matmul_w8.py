@@ -69,8 +69,10 @@ def _kernel(x_ref, q8_ref, scales_ref, zs_ref, *rest,
     # scales/zeros blocks span the full (tiny) group dim; dynamic sublane
     # slices need provable 8-alignment, so roll the wanted groups to the top
     # and slice statically (same trick as the planes kernel).
-    s_all = pltpu.roll(scales_ref[:], -g0, 0)[:G]    # (G, TN) f32
-    zs_all = pltpu.roll(zs_ref[:], -g0, 0)[:G]       # (zeros-128)*scales
+    # f32 math regardless of the HBM storage dtype (f16/bf16 via
+    # ACCESSORY_SCALES_DTYPE — see quant_matmul_planes._kernel)
+    s_all = pltpu.roll(scales_ref[:].astype(jnp.float32), -g0, 0)[:G]
+    zs_all = pltpu.roll(zs_ref[:].astype(jnp.float32), -g0, 0)[:G]
     x = x_ref[:]                               # (TM, tk)
     if has_norm:
         # fused RMSNorm prologue (requires K == tk). Same op order as

@@ -192,7 +192,19 @@ def to_magic_layout(qw: QuantizedWeight) -> QuantizedWeight:
         layout="magic", tile_k=tk)
 
 
-def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight:
+def _scale_store_dtype(scale_dtype):
+    """Resolve the on-HBM dtype for scales/folded-zeros. f32 (default) is
+    exact; f16 halves the 12.5% scales+zeros share of the weight stream
+    (GPTQ checkpoints ship f16 scales, so f16 storage is lossless for
+    imports) — gate via ACCESSORY_SCALES_DTYPE until the Mosaic f16
+    lowering is chip-verified."""
+    if scale_dtype is None:
+        scale_dtype = os.environ.get("ACCESSORY_SCALES_DTYPE", "float32")
+    return jnp.dtype(scale_dtype)
+
+
+def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048,
+                     scale_dtype=None) -> QuantizedWeight:
     """Repack a std-layout W4 QuantizedWeight for the int8-staged nibble-
     plane kernel (ops/quant_matmul_planes.py). Host-side one-time; zeros are
     folded to zeros*scales so the kernel epilogue is q*s - zs."""
@@ -207,15 +219,18 @@ def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight
                         for i in range(L)])
     else:
         pm = repack_for_planes(qw.packed, qw.in_dim, tk)
+    sd = _scale_store_dtype(scale_dtype)
     s = qw.scales.astype(jnp.float32)
     zs = qw.zeros.astype(jnp.float32) * s
     return QuantizedWeight(
-        packed=pm, scales=s, zeros=zs, bits=4, group_size=qw.group_size,
+        packed=pm, scales=s.astype(sd), zeros=zs.astype(sd), bits=4,
+        group_size=qw.group_size,
         in_dim=qw.in_dim, out_dim=qw.out_dim, act_dtype=qw.act_dtype,
         layout="planes", tile_k=tk)
 
 
-def to_w8_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight:
+def to_w8_layout(qw: QuantizedWeight, max_tk: int = 2048,
+                 scale_dtype=None) -> QuantizedWeight:
     """Repack a std-layout W8 QuantizedWeight for the int8 W8A16 kernel
     (ops/quant_matmul_w8.py). packed becomes (K, N) int8 rows (values
     q - 128 so the [0, 255] grid fits int8); zeros are folded to
@@ -234,8 +249,10 @@ def to_w8_layout(qw: QuantizedWeight, max_tk: int = 2048) -> QuantizedWeight:
                         for i in range(L)])
     else:
         pm = repack_for_w8(qw.packed, qw.in_dim)
+    sd = _scale_store_dtype(scale_dtype)
     s = qw.scales.astype(jnp.float32)
     zs = (qw.zeros.astype(jnp.float32) - 128.0) * s
+    s, zs = s.astype(sd), zs.astype(sd)
     return QuantizedWeight(
         packed=pm, scales=s, zeros=zs, bits=8, group_size=qw.group_size,
         in_dim=qw.in_dim, out_dim=qw.out_dim, act_dtype=qw.act_dtype,

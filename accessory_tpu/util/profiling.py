@@ -57,7 +57,9 @@ def params_bytes(params) -> int:
     for leaf in jax.tree.leaves(
             params, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
         if isinstance(leaf, QuantizedWeight):
-            total += leaf.packed.size * 4 + leaf.scales.size * 4 + leaf.zeros.size * 4
+            total += (leaf.packed.size * leaf.packed.dtype.itemsize
+                      + leaf.scales.size * leaf.scales.dtype.itemsize
+                      + leaf.zeros.size * leaf.zeros.dtype.itemsize)
         else:
             total += leaf.size * leaf.dtype.itemsize
     return total

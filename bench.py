@@ -52,8 +52,9 @@ def leaf_bytes(tree) -> int:
     for leaf in jax.tree.leaves(
             tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
         if isinstance(leaf, QuantizedWeight):
-            total += (leaf.packed.size * 4 + leaf.scales.size * 4
-                      + leaf.zeros.size * 4)
+            total += (leaf.packed.size * leaf.packed.dtype.itemsize
+                      + leaf.scales.size * leaf.scales.dtype.itemsize
+                      + leaf.zeros.size * leaf.zeros.dtype.itemsize)
         else:
             total += leaf.size * leaf.dtype.itemsize
     return total
@@ -95,9 +96,13 @@ def _host_synthetic_w4(args, group_size=128):
             # random packed words are a valid "planes" packing of (other)
             # random nibbles — build in the fast int8-staged kernel layout
             # directly (zeros slot holds the folded zeros*scales)
+            from accessory_tpu.quant.qtensor import _scale_store_dtype
+
+            sd = _scale_store_dtype(None)  # ACCESSORY_SCALES_DTYPE A/B
             return QuantizedWeight(
-                packed=jnp.asarray(packed), scales=jnp.asarray(scales),
-                zeros=jnp.asarray(zeros * scales), bits=4,
+                packed=jnp.asarray(packed),
+                scales=jnp.asarray(scales).astype(sd),
+                zeros=jnp.asarray(zeros * scales).astype(sd), bits=4,
                 group_size=group_size, in_dim=k, out_dim=n,
                 layout="planes", tile_k=choose_tile_k(k, group_size))
         return jnp.asarray(np.resize(base, s.shape), dtype=s.dtype)

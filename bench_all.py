@@ -54,7 +54,9 @@ def weight_bytes(tree):
     total = 0
     for leaf in jax.tree.leaves(tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
         if isinstance(leaf, QuantizedWeight):
-            total += leaf.packed.size * 4 + leaf.scales.size * 4 + leaf.zeros.size * 4
+            total += (leaf.packed.size * leaf.packed.dtype.itemsize
+                      + leaf.scales.size * leaf.scales.dtype.itemsize
+                      + leaf.zeros.size * leaf.zeros.dtype.itemsize)
         else:
             total += leaf.size * leaf.dtype.itemsize
     return total
@@ -66,16 +68,17 @@ def random_qweight(key, shape, group_size=128, stacked=True):
     Built directly in the int8-staged "planes" kernel layout (random words
     are a valid planes packing of random nibbles; zeros = folded z*s)."""
     from accessory_tpu.ops.quant_matmul_planes import choose_tile_k
-    from accessory_tpu.quant.qtensor import QuantizedWeight
+    from accessory_tpu.quant.qtensor import QuantizedWeight, _scale_store_dtype
 
     *lead, k, n = shape
     k = k + ((-k) % 1024 if k >= 1024 else (-k) % group_size)  # kernel pad
     ks = jax.random.split(key, 3)
     packed = jax.random.bits(ks[0], (*lead, k // 8, n), jnp.uint32)
+    sd = _scale_store_dtype(None)  # ACCESSORY_SCALES_DTYPE A/B
     scales = jax.random.uniform(ks[1], (*lead, k // group_size, n),
-                                jnp.float32, 1e-3, 2e-3)
+                                jnp.float32, 1e-3, 2e-3).astype(sd)
     zeros = jnp.round(jax.random.uniform(ks[2], (*lead, k // group_size, n),
-                                         jnp.float32, 0, 15))
+                                         jnp.float32, 0, 15)).astype(sd)
     return QuantizedWeight(packed=packed, scales=scales, zeros=zeros * scales,
                            bits=4, group_size=group_size, in_dim=k, out_dim=n,
                            layout="planes", tile_k=choose_tile_k(k, group_size))

@@ -61,7 +61,9 @@ def bench_variant(label, qw, m, reps, inner=64):
     t1 = timed(max(1, reps // 4))
     t2 = timed(reps + max(1, reps // 4))
     dt = (t2 - t1) / reps / inner
-    wbytes = (qw.packed.size * 4 + qw.scales.size * 4 + qw.zeros.size * 4)
+    wbytes = (qw.packed.size * qw.packed.dtype.itemsize
+              + qw.scales.size * qw.scales.dtype.itemsize
+              + qw.zeros.size * qw.zeros.dtype.itemsize)
     bw = wbytes / dt
     print(json.dumps({
         "kernel": label, "m": m, "k": qw.in_dim, "n": qw.out_dim,
@@ -118,7 +120,9 @@ def main():
                 t1 = timed(max(1, args.reps // 4))
                 t2 = timed(args.reps + max(1, args.reps // 4))
                 dt = (t2 - t1) / args.reps / 64
-                wb = qp.packed.size * 4 + qp.scales.size * 4 + qp.zeros.size * 4
+                wb = (qp.packed.size * qp.packed.dtype.itemsize
+                      + qp.scales.size * qp.scales.dtype.itemsize
+                      + qp.zeros.size * qp.zeros.dtype.itemsize)
                 print(json.dumps({
                     "kernel": f"planes_precise {shape}", "m": args.m,
                     "us_per_matmul": round(dt * 1e6, 2),

@@ -263,3 +263,29 @@ def _mk_w8(k, n, gs, seed=0):
                           jnp.float32) * k ** -0.5
     return to_w8_layout(quantize_weight(w, bits=8, group_size=gs,
                                         act_dtype=jnp.float32))
+
+
+@pytest.mark.parametrize("sd", ["float16", "bfloat16"])
+def test_planes_f16_scales_numerics(sd):
+    """f16/bf16 scale storage (ACCESSORY_SCALES_DTYPE): kernel math stays
+    f32, so the only delta vs f32 storage is the scale rounding itself.
+    When the weight is quantized against f16-representable scales (GPTQ
+    checkpoints ship f16), storage is lossless and outputs match the f32-
+    stored kernel exactly."""
+    qw = _mk(512, 256, 128)
+    # make scales exactly representable in the storage dtype
+    s16 = qw.scales.astype(jnp.dtype(sd)).astype(jnp.float32)
+    qw = QuantizedWeight(qw.packed, s16, qw.zeros, qw.bits, qw.group_size,
+                         qw.in_dim, qw.out_dim, qw.act_dtype, qw.layout,
+                         qw.tile_k)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 512), jnp.float32)
+    ref = quant_matmul(x, to_planes_layout(qw))  # f32-stored
+    qp16 = to_planes_layout(qw, scale_dtype=sd)
+    assert qp16.scales.dtype == jnp.dtype(sd)
+    got = quant_matmul(x, qp16)
+    # zs = z*s re-rounds once in storage; f16 keeps 10 mantissa bits
+    # (tight), bf16 only 7 (z in [0,15] -> ~0.4% per-element worst case)
+    tol = 5e-3 if sd == "float16" else 2e-2
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=tol, atol=scale * tol)
