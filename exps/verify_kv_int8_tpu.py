@@ -88,5 +88,35 @@ for kv in (None, "int8"):
     print(f"paged kernel vs gather ({kv or 'bf16'}): max|d|={d:.4f}",
           flush=True)
     assert d < 0.05, d  # same context bytes, kernel vs XLA rounding only
-print("VERIFY OK: int8 KV + rope fuse + paged (kernel+gather) on",
-      jax.default_backend())
+# f16/bf16 scale storage: same packed weights, f16-representable scales ->
+# the f16-stored kernel must match the f32-stored kernel on chip (Mosaic
+# f16 load + convert lowering check)
+from accessory_tpu.quant.qtensor import (QuantizedWeight, quant_matmul,
+                                         quantize_weight, to_planes_layout,
+                                         to_w8_layout, dequantize_weight)
+
+w = jax.random.normal(jax.random.key(3), (1024, 256), jnp.float32) * 0.03
+x = jax.random.normal(jax.random.key(4), (8, 1024), jnp.float32)
+qw = quantize_weight(w, bits=4, group_size=128)
+s16 = qw.scales.astype(jnp.float16).astype(jnp.float32)
+qw = QuantizedWeight(qw.packed, s16, qw.zeros, qw.bits, qw.group_size,
+                     qw.in_dim, qw.out_dim, qw.act_dtype, qw.layout,
+                     qw.tile_k)
+ref = np.asarray(quant_matmul(x, to_planes_layout(qw)))
+for sd in ("float16", "bfloat16"):
+    got = np.asarray(quant_matmul(x, to_planes_layout(qw, scale_dtype=sd)))
+    d = float(np.max(np.abs(got - ref)))
+    print(f"planes scales {sd}: max|d|={d:.5f}", flush=True)
+    tol = 0.02 if sd == "float16" else 0.15
+    assert d < tol, (sd, d)
+
+# W8A16 kernel vs XLA dequant reference on chip
+qw8 = quantize_weight(w, bits=8, group_size=128)
+ref8 = np.asarray(x @ dequantize_weight(qw8, jnp.float32))
+got8 = np.asarray(quant_matmul(x, to_w8_layout(qw8)))
+d8 = float(np.max(np.abs(got8 - ref8)) / max(1e-6, np.abs(ref8).max()))
+print(f"w8 kernel rel|d|={d8:.5f}", flush=True)
+assert d8 < 0.02, d8
+
+print("VERIFY OK: int8 KV + rope fuse + paged (kernel+gather) + "
+      "f16-scales + w8 on", jax.default_backend())
