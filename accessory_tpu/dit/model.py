@@ -150,8 +150,12 @@ def dit_forward(
     t: jnp.ndarray,           # (b,) diffusion timesteps
     y: jnp.ndarray,           # (b,) class labels (num_classes = CFG null)
     cap_feats: Optional[jnp.ndarray] = None,  # (b, T, cap_dim) T2I captions
+    remat: bool = False,
 ) -> jnp.ndarray:
-    """Returns (b, out_channels, H, W)."""
+    """Returns (b, out_channels, H, W). ``remat`` checkpoints each block
+    (training: scan otherwise stores every block's intermediates — ~8
+    tensors x L layers; with remat only the residual stream is carried,
+    the reference's activation-checkpoint role, Large-DiT train.py)."""
     b = x.shape[0]
     p, g = args.patch_size, args.input_size // args.patch_size
     d = args.dim
@@ -196,6 +200,10 @@ def dit_forward(
         h = h + g2[:, None, :] * jnp.dot(ff, layer["w2"]["weight"])
         return h, None
 
+    if remat:
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     h, _ = jax.lax.scan(body, h, params["layers"])
 
     fin = params["final"]

@@ -43,13 +43,14 @@ def get_args_parser():
     return p
 
 
-def make_dit_train_step(args_d, diffusion, tx):
+def make_dit_train_step(args_d, diffusion, tx, remat: bool = True):
     from accessory_tpu.dit.model import dit_forward
 
     def loss_fn(params, latents, labels, t, key, cap_feats=None):
         loss, parts = diffusion.training_loss(
             lambda xt, tt, yy=labels: dit_forward(
-                params, args_d, xt, tt, yy, cap_feats=cap_feats),
+                params, args_d, xt, tt, yy, cap_feats=cap_feats,
+                remat=remat),
             latents, t, key)
         return loss, parts
 

@@ -383,6 +383,58 @@ def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3, n2=10):
         "hw_util": round(hw_tok * tok_s / PEAK_FLOPS, 4)}), flush=True)
 
 
+def bench_dit_train(dim=1024, n_layers=24, n_heads=16, batch=32,
+                    input_size=32, n1=3, n2=10):
+    """Large-DiT training-step throughput (the reference sub-project's
+    headline metric is training speed, Large-DiT-ImageNet/train.py).
+    DiT-L/2-class latent-space step: fp32 AdamW + EMA + VLB loss + remat.
+    Reports imgs/s and MFU (6N x tokens model-flops convention)."""
+    from accessory_tpu.dit.diffusion import GaussianDiffusion
+    from accessory_tpu.dit.model import DiTArgs, init_dit
+    from accessory_tpu.dit.train import make_dit_train_step
+    from accessory_tpu.train import TrainState, make_optimizer
+
+    args_d = DiTArgs(dim=dim, n_layers=n_layers, n_heads=n_heads,
+                     input_size=input_size, num_classes=1000)
+    params = init_dit(jax.random.PRNGKey(0), args_d)
+    diffusion = GaussianDiffusion()
+    tx = make_optimizer(params, 1e-4, weight_decay=0.0, clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    ema = jax.tree.map(jnp.copy, params)
+    step = jax.jit(make_dit_train_step(args_d, diffusion, tx),
+                   donate_argnums=(0, 1))
+
+    rng = np.random.RandomState(0)
+    latents = jnp.asarray(rng.standard_normal(
+        (batch, args_d.in_channels, input_size, input_size)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 1000, (batch,)), jnp.int32)
+    key = jax.random.PRNGKey(1)
+    state, ema, metrics, key = step(state, ema, latents, labels, key)
+    fetch(metrics["loss"])
+
+    def run(n, state, ema, key):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, ema, metrics, key = step(state, ema, latents, labels, key)
+        fetch(metrics["loss"])
+        return time.perf_counter() - t0, state, ema, key
+
+    t1, state, ema, key = run(n1, state, ema, key)
+    t2, state, ema, key = run(n1 + n2, state, ema, key)
+    dt = (t2 - t1) / n2
+
+    P = _matmul_param_count(params)
+    tokens = (input_size // args_d.patch_size) ** 2
+    # bidirectional attention, full S per query: fwd = 4*T^2*D per layer
+    attn_fwd_img = 4 * tokens * tokens * dim * n_layers
+    model_flops = (6 * P * tokens + 3 * attn_fwd_img) * batch
+    print(json.dumps({
+        "metric": f"DiT-L/2-class train step bs{batch} (fp32+EMA+VLB)",
+        "value": round(batch / dt, 2), "unit": "imgs/s",
+        "vs_baseline": round(model_flops / dt / PEAK_FLOPS, 4)}),
+        flush=True)
+
+
 def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
                     gen_len=64, page_size=64, decode_steps=8,
                     prefix_cache=False, spec_lookup=0, shared_prefix=0,
@@ -496,7 +548,7 @@ if __name__ == "__main__":
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
                              "sched", "longctx", "kv8", "kv8-longctx",
                              "sched-pc", "sched-spec", "sched-long",
-                             "train", "train-qpeft", "70b"])
+                             "train", "train-qpeft", "70b", "dit"])
     a = ap.parse_args()
     if a.only == "sched":
         bench_scheduler()
@@ -511,6 +563,8 @@ if __name__ == "__main__":
         # the Pallas paged kernel (vs dense gather) is built for
         bench_scheduler(slots=4, n_requests=8, rate=0.5, prompt_len=2048,
                         gen_len=128, max_seq_len=4096, tag="2k-prompt")
+    if a.only == "dit":
+        bench_dit_train()
     if a.only == "70b":
         bench_70b_projection()
     if a.only == "train":

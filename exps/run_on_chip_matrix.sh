@@ -64,5 +64,8 @@ run bench_train_qpeft 2400 python -u bench_all.py --only train-qpeft
 # 12. 70B decode projection from real measured 70B-shaped layers
 run bench_70b 2400 python -u bench_all.py --only 70b
 
+# 13. Large-DiT training step (the DiT sub-project headline is train speed)
+run bench_dit 2400 python -u bench_all.py --only dit
+
 echo "MATRIX DONE $(date)" >> $OUT/summary.log
 touch /tmp/chip_matrix_done.flag
