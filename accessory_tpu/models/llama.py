@@ -314,6 +314,10 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     b, sq, _ = h.shape
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
+    # training (cache-free) differentiates through these matmuls: the fused
+    # kernel form has no autodiff rule, so force the unfused composition
+    # (plain quant matmul carries the custom_vjp)
+    fuse_ok = cache_k is not None
 
     if "wqkv" in att:
         # decode-time fused projection (quant/fuse.py): one full-width
@@ -357,20 +361,22 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
-    h = module_linear_nr(out.reshape(b, sq, nq * hd), att["wo"], residual=h)
+    h = module_linear_nr(out.reshape(b, sq, nq * hd), att["wo"], residual=h,
+                         allow_fused=fuse_ok)
 
     ff = layer["feed_forward"]
     if "w13" in ff:
         gu = module_linear_nr(h, ff["w13"], norm=layer["ffn_norm"],
-                              eps=args.norm_eps)
+                              eps=args.norm_eps, allow_fused=fuse_ok)
         hidden = gu.shape[-1] // 2
         gate = jax.nn.silu(gu[..., :hidden])
-        h = module_linear_nr(gate * gu[..., hidden:], ff["w2"], residual=h)
+        h = module_linear_nr(gate * gu[..., hidden:], ff["w2"], residual=h,
+                             allow_fused=fuse_ok)
     else:
         x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
         gate = jax.nn.silu(module_linear(x, ff["w1"]))
         h = module_linear_nr(gate * module_linear(x, ff["w3"]), ff["w2"],
-                             residual=h)
+                             residual=h, allow_fused=fuse_ok)
     if update_cache and wk is not None:
         if wks is not None:
             return h, wk, wv, wks, wvs

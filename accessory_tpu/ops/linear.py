@@ -32,7 +32,8 @@ def linear(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
 def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
                      eps: float = 1e-5,
                      residual: Optional[jnp.ndarray] = None,
-                     rope: Optional[tuple] = None) -> jnp.ndarray:
+                     rope: Optional[tuple] = None,
+                     allow_fused: bool = True) -> jnp.ndarray:
     """``residual + module_linear(rms_norm(x), mod)`` with the norm and the
     add folded into the quant kernel when the weight is planes-W4 (decode is
     kernel-launch-bound; each fold removes an XLA elementwise launch —
@@ -42,6 +43,11 @@ def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
     ``rope``: (cos_row, sin_row, style, head_dim) decode-RoPE epilogue for
     the fused wqkv projection (ops.rope.rope_rows builds the rows); folded
     into the planes kernel, applied via apply_rope_flat elsewhere.
+
+    ``allow_fused=False`` forces the unfused composition. Training paths
+    MUST pass it: the fused kernel call has no autodiff rule (only the
+    plain quant matmul carries a custom_vjp), and e.g. norm-only QPEFT
+    differentiates through wo/w2 modules that would otherwise fuse.
     """
     from accessory_tpu.ops.norms import rms_norm
     from accessory_tpu.ops.rope import apply_rope_flat
@@ -49,7 +55,8 @@ def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
 
     w = mod.get("weight")
     fusible = (
-        isinstance(w, QuantizedWeight) and w.layout in ("planes", "w8")
+        allow_fused
+        and isinstance(w, QuantizedWeight) and w.layout in ("planes", "w8")
         and "lora_a" not in mod and mod.get("bias") is None
         and x.shape[-1] == w.in_dim
         and (norm is None or w.in_dim == w.tile_k))

@@ -404,12 +404,8 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
         # is the expected regime).
         dense_m = int(os.environ.get("ACCESSORY_QMM_DENSE_M", "0"))
         if dense_m and x2d.shape[0] >= dense_m:
-            from accessory_tpu.ops.quant_matmul_planes import unpack_planes
-
-            return _dense_fused(x, unpack_planes(
-                qw.packed, qw.in_dim, qw.tile_k, qw.group_size,
-                qw.scales, qw.zeros, dtype=qw.act_dtype),
-                norm_weight, norm_eps, residual, rope)
+            return _dense_fused(x, dense_weight(qw), norm_weight, norm_eps,
+                                residual, rope)
         if norm_weight is None and residual is None and rope is None:
             # differentiable wrapper (QPEFT backward crosses this matmul)
             out = _kernel_qmm_dispatch(x2d, qw)

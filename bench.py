@@ -46,18 +46,9 @@ STEPS = 100
 
 
 def leaf_bytes(tree) -> int:
-    from accessory_tpu.quant.qtensor import QuantizedWeight
+    from accessory_tpu.util.profiling import params_bytes
 
-    total = 0
-    for leaf in jax.tree.leaves(
-            tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
-        if isinstance(leaf, QuantizedWeight):
-            total += (leaf.packed.size * leaf.packed.dtype.itemsize
-                      + leaf.scales.size * leaf.scales.dtype.itemsize
-                      + leaf.zeros.size * leaf.zeros.dtype.itemsize)
-        else:
-            total += leaf.size * leaf.dtype.itemsize
-    return total
+    return params_bytes(tree)
 
 
 def _host_synthetic_w4(args, group_size=128):

@@ -49,17 +49,9 @@ def timed_steps(step, params, tok, cache, n1=20, n2=100, pos0=512):
 
 
 def weight_bytes(tree):
-    from accessory_tpu.quant.qtensor import QuantizedWeight
+    from accessory_tpu.util.profiling import params_bytes
 
-    total = 0
-    for leaf in jax.tree.leaves(tree, is_leaf=lambda x: isinstance(x, QuantizedWeight)):
-        if isinstance(leaf, QuantizedWeight):
-            total += (leaf.packed.size * leaf.packed.dtype.itemsize
-                      + leaf.scales.size * leaf.scales.dtype.itemsize
-                      + leaf.zeros.size * leaf.zeros.dtype.itemsize)
-        else:
-            total += leaf.size * leaf.dtype.itemsize
-    return total
+    return params_bytes(tree)
 
 
 def random_qweight(key, shape, group_size=128, stacked=True):
@@ -273,7 +265,7 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
                                     stacked=False)
         step = jax.jit(lambda p, t, c, pos, a=argsL: llama.forward(
             p, a, t, cache=c, cur_pos=pos), donate_argnums=(2,))
-        times[L] = timed_steps(step, pL, tok, cache, n1=10, n2=50)
+        times[L] = timed_steps(step, pL, tok, cache, n1=n1, n2=n2)
 
     dt_layer = (times[8] - times[4]) / 4
     t80 = times[4] + 76 * dt_layer

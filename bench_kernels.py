@@ -61,9 +61,9 @@ def bench_variant(label, qw, m, reps, inner=64):
     t1 = timed(max(1, reps // 4))
     t2 = timed(reps + max(1, reps // 4))
     dt = (t2 - t1) / reps / inner
-    wbytes = (qw.packed.size * qw.packed.dtype.itemsize
-              + qw.scales.size * qw.scales.dtype.itemsize
-              + qw.zeros.size * qw.zeros.dtype.itemsize)
+    from accessory_tpu.util.profiling import params_bytes
+
+    wbytes = params_bytes(qw)
     bw = wbytes / dt
     print(json.dumps({
         "kernel": label, "m": m, "k": qw.in_dim, "n": qw.out_dim,
@@ -120,9 +120,9 @@ def main():
                 t1 = timed(max(1, args.reps // 4))
                 t2 = timed(args.reps + max(1, args.reps // 4))
                 dt = (t2 - t1) / args.reps / 64
-                wb = (qp.packed.size * qp.packed.dtype.itemsize
-                      + qp.scales.size * qp.scales.dtype.itemsize
-                      + qp.zeros.size * qp.zeros.dtype.itemsize)
+                from accessory_tpu.util.profiling import params_bytes
+
+                wb = params_bytes(qp)
                 print(json.dumps({
                     "kernel": f"planes_precise {shape}", "m": args.m,
                     "us_per_matmul": round(dt * 1e6, 2),

@@ -102,7 +102,7 @@ s16 = qw.scales.astype(jnp.float16).astype(jnp.float32)
 qw = QuantizedWeight(qw.packed, s16, qw.zeros, qw.bits, qw.group_size,
                      qw.in_dim, qw.out_dim, qw.act_dtype, qw.layout,
                      qw.tile_k)
-ref = np.asarray(quant_matmul(x, to_planes_layout(qw)))
+ref = np.asarray(quant_matmul(x, to_planes_layout(qw, scale_dtype='float32')))
 for sd in ("float16", "bfloat16"):
     got = np.asarray(quant_matmul(x, to_planes_layout(qw, scale_dtype=sd)))
     d = float(np.max(np.abs(got - ref)))
@@ -113,7 +113,7 @@ for sd in ("float16", "bfloat16"):
 # W8A16 kernel vs XLA dequant reference on chip
 qw8 = quantize_weight(w, bits=8, group_size=128)
 ref8 = np.asarray(x @ dequantize_weight(qw8, jnp.float32))
-got8 = np.asarray(quant_matmul(x, to_w8_layout(qw8)))
+got8 = np.asarray(quant_matmul(x, to_w8_layout(qw8, scale_dtype='float32')))
 d8 = float(np.max(np.abs(got8 - ref8)) / max(1e-6, np.abs(ref8).max()))
 print(f"w8 kernel rel|d|={d8:.5f}", flush=True)
 assert d8 < 0.02, d8

@@ -264,3 +264,31 @@ def test_autocast_bf16_compute_with_fp32_masters():
     assert all(l.dtype == jnp.float32
                for l in jax.tree.leaves(state.params)
                if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_norm_only_qpeft_trains_through_fused_eligible_modules():
+    """Norm-only PEFT (no lora, no bias): wo/w2 modules have neither
+    lora_a nor bias, so module_linear_nr would fuse them into the raw
+    kernel call — which has no autodiff rule. The training path must
+    force the unfused (differentiable) composition (allow_fused=False
+    threaded from the cache-free block)."""
+    from accessory_tpu.quant import quantize_params
+
+    args = LLaMAArgs(dim=128, n_layers=2, n_heads=2, n_kv_heads=2,
+                     vocab_size=64, multiple_of=64, max_seq_len=16,
+                     dtype="float32", norm_tuning=True)
+    params = llama.init_params(jax.random.PRNGKey(0), args)
+    qp = quantize_params(params, bits=4, group_size=64, layout="planes")
+    trainable = llama.get_trainable_params_filter(args)
+    tx = make_optimizer(qp, 1e-2, weight_decay=0.0, clip_norm=1.0,
+                        trainable=trainable)
+    state = TrainState.create(qp, tx)
+    step = make_train_step(llama, args, tx, remat=True)
+    batch = {"examples": jnp.ones((2, 16), jnp.int32) * 5,
+             "labels": jnp.ones((2, 16), jnp.int32) * 7}
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["c_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
