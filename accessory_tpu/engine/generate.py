@@ -18,7 +18,6 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -32,6 +31,23 @@ _BUCKET = 64
 
 def _round_up(x: int, m: int = _BUCKET) -> int:
     return max(m, (x + m - 1) // m * m)
+
+
+def stop_token_seqs(tokenizer, stop_symbols: Iterable[str]
+                    ) -> Tuple[Tuple[int, ...], ...]:
+    """eos + each stop symbol tokenized both as a segment and without a
+    prefix space (reference meta.py:452-458), deduped in order. Shared by
+    Generator and ContinuousBatcher."""
+    seqs = [(tokenizer.eos_id,)]
+    for s in stop_symbols:
+        seqs.append(tuple(tokenizer.encode_segment(s)))
+        seqs.append(tuple(tokenizer.encode_wo_prefix_space(s)))
+    seen, out = set(), []
+    for s in seqs:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return tuple(out)
 
 
 def _sample(logits, key, temperature: float, top_p: float):
@@ -154,7 +170,15 @@ class Generator:
                     window = jax.lax.dynamic_slice(
                         tokens, (0, cur + 1 - L), (bsz, L))
                     hit = jnp.all(window == jnp.asarray(seq, tokens.dtype)[None, :], axis=-1)
-                    hit = hit & ~cur_mask & ~stopped & (cur + 1 - L >= 0)
+                    # the whole window must be generated tokens: if its
+                    # first position is still prompt (mask True), a match
+                    # spans the prompt/generation boundary — the reference
+                    # matches within generated tokens only (meta.py:452-458)
+                    first_in_prompt = jnp.take_along_axis(
+                        mask, jnp.maximum(cur + 1 - L, 0)[None]
+                        * jnp.ones((bsz, 1), jnp.int32), axis=1)[:, 0]
+                    hit = (hit & ~cur_mask & ~stopped & ~first_in_prompt
+                           & (cur + 1 - L >= 0))
                     stop_pos = jnp.where(hit, cur + 1 - L, stop_pos)
                     stopped = stopped | hit
 
@@ -177,17 +201,7 @@ class Generator:
     # ------------------------------------------------------------------
 
     def _stop_token_seqs(self, additional_stop_symbols: Iterable[str]):
-        seqs = [(self.tokenizer.eos_id,)]
-        for s in additional_stop_symbols:
-            seqs.append(tuple(self.tokenizer.encode_segment(s)))
-            seqs.append(tuple(self.tokenizer.encode_wo_prefix_space(s)))
-        # dedupe, keep order
-        seen, out = set(), []
-        for s in seqs:
-            if s not in seen:
-                seen.add(s)
-                out.append(s)
-        return tuple(out)
+        return stop_token_seqs(self.tokenizer, additional_stop_symbols)
 
     def generate(
         self,
@@ -213,7 +227,8 @@ class Generator:
             embeds, n_image_words = self.encode_image(self.params, images)
 
         max_seq_len = args.max_seq_len - n_image_words
-        prompt_tokens = [t[-(max_seq_len - max_gen_len):] for t in prompt_tokens]
+        keep = max(1, max_seq_len - max_gen_len)
+        prompt_tokens = [t[-keep:] for t in prompt_tokens]
         min_prompt = min(len(t) for t in prompt_tokens)
         max_prompt = max(len(t) for t in prompt_tokens)
         total_len = min(max_seq_len, max_gen_len + max_prompt)
@@ -263,6 +278,24 @@ class Generator:
             decoded.append(self.tokenizer.decode(t))
         return decoded
 
+    def _stream_step(self):
+        key = "stream-step"
+        if key not in self._loop_cache:
+            def f(params, tok, cache, pos):
+                return self.module.forward(params, self.args, tok,
+                                           cache=cache, cur_pos=pos)
+
+            self._loop_cache[key] = jax.jit(f)
+        return self._loop_cache[key]
+
+    def _stream_prefill_emb(self):
+        key = "stream-prefill-emb"
+        if key not in self._loop_cache:
+            self._loop_cache[key] = jax.jit(
+                lambda p, t, c, e: self.module.forward(
+                    p, self.args, t, cache=c, cur_pos=0, embeds=e))
+        return self._loop_cache[key]
+
     def stream_generate(
         self,
         prompt: str,
@@ -285,7 +318,7 @@ class Generator:
             assert self.encode_image is not None
             embeds, n_image_words = self.encode_image(self.params, images)
         max_seq_len = args.max_seq_len - n_image_words
-        tokens_l = tokens_l[-(max_seq_len - max_gen_len):]
+        tokens_l = tokens_l[-max(1, max_seq_len - max_gen_len):]
         start = len(tokens_l)
         total = min(max_seq_len, start + max_gen_len)
 
@@ -301,25 +334,24 @@ class Generator:
             self.args, 1, max_len=buf_len + n_image_words,
             stacked=not self.unroll_decode, **kw)
 
-        @functools.lru_cache(maxsize=None)
-        def step_fn(seq_len):
-            def f(params, tok, cache, pos):
-                return self.module.forward(params, args, tok, cache=cache, cur_pos=pos)
-            return jax.jit(f)
+        # jits cached on self: a fresh jit object per call would
+        # retrace/recompile every streamed request (tens of seconds each
+        # through the relay)
+        step_fn = self._stream_step
 
         if embeds is not None:
             tok_emb = jnp.take(_embedding_table(self.params),
                                jnp.asarray(tokens[:, :prefill_len]), axis=0)
             emb = jnp.concatenate(
                 [tok_emb[:, :1], embeds, tok_emb[:, 1:]], axis=1)
-            logits, cache = jax.jit(
-                lambda p, t, c: self.module.forward(
-                    p, args, t, cache=c, cur_pos=0, embeds=emb)
-            )(self.params, jnp.asarray(tokens[:, :prefill_len]), cache)
+            logits, cache = self._stream_prefill_emb()(
+                self.params, jnp.asarray(tokens[:, :prefill_len]), cache, emb)
         else:
-            logits, cache = step_fn(prefill_len)(
+            logits, cache = step_fn()(
                 self.params, jnp.asarray(tokens[:, :prefill_len]), cache, 0)
-        last = logits[0, start - 1]
+        # the last prompt token's logits sit at start-1 PLUS the spliced
+        # image words (same offset generate() applies via last_idx)
+        last = logits[0, start - 1 + n_image_words]
 
         key = jax.random.PRNGKey(seed)
         generated: List[int] = []
@@ -337,7 +369,7 @@ class Generator:
                 return
             yield {"text": text, "end_of_content": False}
             tokens[0, cur] = nxt
-            logits, cache = step_fn(1)(
+            logits, cache = step_fn()(
                 self.params, jnp.asarray(tokens[:, cur:cur + 1]), cache,
                 cur + n_image_words)
             last = logits[0, 0]

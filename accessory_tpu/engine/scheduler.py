@@ -187,21 +187,22 @@ class ContinuousBatcher:
     # ------------------------------------------------------------------
 
     def _stop_token_seqs(self, stop_symbols: Iterable[str]):
-        seqs = [(self.tokenizer.eos_id,)]
-        for s in stop_symbols:
-            seqs.append(tuple(self.tokenizer.encode_segment(s)))
-            seqs.append(tuple(self.tokenizer.encode_wo_prefix_space(s)))
-        seen, out = set(), []
-        for s in seqs:
-            if s not in seen:
-                seen.add(s)
-                out.append(s)
-        return tuple(out)
+        from accessory_tpu.engine.generate import stop_token_seqs
+
+        return stop_token_seqs(self.tokenizer, stop_symbols)
 
     def add_request(self, prompt: str, max_gen_len: int = 128,
                     temperature: float = 0.0, top_p: float = 0.95) -> int:
         toks = self.tokenizer.encode(prompt, bos=True, eos=False)
-        toks = toks[-(self.args.max_seq_len - max_gen_len):]
+        # clamp to BOTH budgets: the model context minus the generation
+        # budget, and the slot's page capacity minus the per-dispatch write
+        # margin (an over-long prompt would otherwise overflow the
+        # page-table row); max() guards max_gen_len >= max_seq_len, where
+        # the old negative slice kept the whole prompt
+        margin = max(self.decode_steps, self.spec_lookup + 1)
+        keep = max(1, min(self.args.max_seq_len - max_gen_len,
+                          self.pages_per_seq * self.page_size - margin))
+        toks = toks[-keep:]
         self._uid += 1
         self.pending.append(Request(self._uid, toks, max_gen_len,
                                     temperature, top_p))
@@ -328,27 +329,33 @@ class ContinuousBatcher:
     def _match_prefix(self, tokens: List[int], keys: List[int]) -> List[int]:
         """Longest run of cached pages covering the prompt head. Capped at
         (plen-1)//ps so at least one suffix token remains to prefill (the
-        next-token sample needs the last prompt position's logits)."""
+        next-token sample needs the last prompt position's logits). Each
+        hit compares the stored token content, not just the rolling hash —
+        a hash collision would otherwise serve another prompt's KV pages
+        (silent corruption in a long-lived server)."""
+        ps = self.page_size
         reused = []
-        for j in range(min(len(keys), (len(tokens) - 1) // self.page_size)):
-            page = self._prefix_map.get(keys[j])
-            if page is None:
+        for j in range(min(len(keys), (len(tokens) - 1) // ps)):
+            entry = self._prefix_map.get(keys[j])
+            if entry is None or entry[1] != tuple(tokens[j * ps:(j + 1) * ps]):
                 break
-            reused.append(page)
+            reused.append(entry[0])
             self._prefix_map.move_to_end(keys[j])
         return reused
 
-    def _register_prefix(self, slot: int, plen: int, k0: int,
+    def _register_prefix(self, slot: int, tokens: List[int], k0: int,
                          keys: List[int]) -> None:
         """Publish this slot's freshly written full prompt pages (beyond
         the k0 reused ones). The map holds its own page reference, so
-        cached pages outlive the slot."""
-        for j in range(k0, plen // self.page_size):
+        cached pages outlive the slot; entries carry the page's token
+        content for collision-proof hits."""
+        ps = self.page_size
+        for j in range(k0, len(tokens) // ps):
             if keys[j] in self._prefix_map:
                 continue
             page = int(self.page_table[slot, j])
             self.pool.share([page])
-            self._prefix_map[keys[j]] = page
+            self._prefix_map[keys[j]] = (page, tuple(tokens[j * ps:(j + 1) * ps]))
             self._page_key[page] = keys[j]
 
     def _evict_prefix(self, n: int) -> int:
@@ -358,7 +365,7 @@ class ContinuousBatcher:
         for key in list(self._prefix_map):
             if freed >= n:
                 break
-            page = self._prefix_map.pop(key)
+            page, _ = self._prefix_map.pop(key)
             del self._page_key[page]
             before = self.pool.free_pages
             self.pool.release([page])
@@ -411,12 +418,21 @@ class ContinuousBatcher:
         group: List[Tuple[int, Request]] = []
         reuse_k: Dict[int, int] = {}
         keys_by_slot: Dict[int, List[int]] = {}
+        max_alloc = self.total_pages - 1  # page 0 is the reserved trash
+        pool_full = False
         for slot in range(self.slots):
-            if self.active[slot] is not None or not self.pending:
+            if pool_full or self.active[slot] is not None or not self.pending:
                 continue
             req = self.pending[0]
             plen = len(req.prompt_tokens)
             n_pages = -(-plen // self.page_size)
+            if n_pages > max_alloc:
+                # can NEVER be admitted (pool smaller than one prompt) —
+                # fail the request instead of spinning the serve loop
+                self.pending.pop(0)
+                req.done = True
+                self.finished.append(req)
+                continue
             reused: List[int] = []
             keys: List[int] = []
             if self.prefix_cache:
@@ -427,14 +443,17 @@ class ContinuousBatcher:
                 self.prefix_hits += len(reused)
             need = n_pages - len(reused)
             # +1 headroom so the first decode steps can't immediately
-            # preempt what we just admitted
-            if (self.pool.free_pages < need + 1 and self._prefix_map):
-                self._evict_prefix(need + 1 - self.pool.free_pages)
+            # preempt what we just admitted — unless the pool could never
+            # provide it (then headroom would make admission impossible)
+            headroom = 1 if need < max_alloc else 0
+            if (self.pool.free_pages < need + headroom and self._prefix_map):
+                self._evict_prefix(need + headroom - self.pool.free_pages)
             pages = (self.pool.alloc(need)
-                     if self.pool.free_pages >= need + 1 else None)
+                     if self.pool.free_pages >= need + headroom else None)
             if pages is None:
                 self.pool.release(reused)
-                break  # FIFO — don't admit younger requests past this one
+                pool_full = True  # FIFO — don't admit younger past this one
+                continue
             self.pending.pop(0)
             row = reused + pages
             self.slot_pages[slot] = row
@@ -497,7 +516,11 @@ class ContinuousBatcher:
             nxt = np.zeros((gp,), np.int64)
             max_start = int(starts_p.max())
             for c in range(n_ch):
-                active = max(1, -(-(max_start + c * ce) // self.page_size))
+                # pow2-bucketed like _decode_fn/_verify_fn: the exact count
+                # would mint a fresh compile per distinct prefix length
+                active = min(_next_pow2(max(
+                    1, -(-(max_start + c * ce) // self.page_size))),
+                    self.pages_per_seq)
                 last_off = np.clip(slens_p - 1 - c * ce, 0, ce - 1)
                 self._key, k = jax.random.split(self._key)
                 nc, sub = self._chunk_prefill_fn(gp, ce, active)(
@@ -526,7 +549,7 @@ class ContinuousBatcher:
 
         if self.prefix_cache:
             for slot, req in group:
-                self._register_prefix(slot, len(req.prompt_tokens),
+                self._register_prefix(slot, req.prompt_tokens,
                                       reuse_k[slot], keys_by_slot[slot])
 
         first = []
@@ -539,12 +562,23 @@ class ContinuousBatcher:
 
     def _append_token(self, req: Request, tok: int) -> None:
         """Append + stop detection (multi-token stop suffix matching,
-        reference meta.py:452-458) + budget check."""
+        reference meta.py:452-458) + budget check. Matching runs over the
+        full generated-origin history (prompt_tokens past orig_prompt_len
+        are generated tokens folded in by preemption), so a stop sequence
+        spanning a preemption boundary is still caught."""
         req.generated.append(tok)
+        hist = req.prompt_tokens[req.orig_prompt_len:] + req.generated
         for seq in self.stop_seqs:
             L = len(seq)
-            if len(req.generated) >= L and tuple(req.generated[-L:]) == seq:
-                req.generated = req.generated[:-L]
+            if len(hist) >= L and tuple(hist[-L:]) == seq:
+                # strip the stop text: first from generated, then from the
+                # folded part (both feed output_tokens)
+                k_gen = min(L, len(req.generated))
+                req.generated = req.generated[:len(req.generated) - k_gen]
+                rem = L - k_gen
+                if rem:
+                    req.prompt_tokens = req.prompt_tokens[:-rem]
+                    req.prefix_gen -= rem
                 req.done = True
                 return
         if req.n_generated >= req.max_gen_len:

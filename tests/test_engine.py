@@ -137,3 +137,52 @@ def test_generate_unrolled_decode_matches(model):
     chunks = list(g.stream_generate("hello world", max_gen_len=4,
                                     temperature=0.0))
     assert chunks and chunks[-1]["end_of_content"] in (True, False)
+
+
+def test_stop_window_does_not_span_prompt_boundary(model):
+    """A stop sequence whose first token(s) coincide with the prompt TAIL
+    must not fire on the prompt/generation boundary window — the reference
+    matches within generated tokens only (meta.py:452-458); the old device
+    matcher returned an empty completion here."""
+    prompt = "the quick brown"
+    ptoks = model.tokenizer.encode(prompt, bos=True, eos=False)
+    ref = greedy_reference(model, prompt, 4)
+    g0 = ref[len(ptoks)]
+    # inject the adversarial stop pair directly (string round-tripping
+    # can't target exact token ids)
+    from accessory_tpu.engine.generate import Generator
+
+    gobj = Generator(model.module, model.args, model.params,
+                     model.tokenizer)
+    stop = (ptoks[-1], g0)
+    old = gobj._stop_token_seqs
+    gobj._stop_token_seqs = lambda extra: ((model.tokenizer.eos_id,), stop)
+    try:
+        out = gobj.generate([prompt], max_gen_len=4)[0]
+    finally:
+        gobj._stop_token_seqs = old
+    # the completion must START (boundary window suppressed); it may stop
+    # later if the pair legitimately recurs inside generated text
+    assert out.startswith(model.tokenizer.decode([g0])), out
+
+
+def test_stream_generate_multimodal_first_token(model):
+    """stream_generate with spliced image embeddings must sample the first
+    token from the LAST prompt position + n_image_words (it read an
+    interior prompt position before)."""
+    from accessory_tpu.engine.generate import Generator, _embedding_table
+
+    emb_tokens = model.tokenizer.encode("lazy dog", bos=False, eos=False)[:4]
+    table = _embedding_table(model.params)
+
+    def encode_image(params, images):
+        e = jnp.take(table, jnp.asarray([emb_tokens]), axis=0)
+        return e, e.shape[1]
+
+    g = Generator(model.module, model.args, model.params, model.tokenizer,
+                  encode_image=encode_image)
+    batch_out = g.generate(["hello world this"], images=np.zeros((1, 1)),
+                           max_gen_len=5)[0]
+    chunks = list(g.stream_generate("hello world this",
+                                    images=np.zeros((1, 1)), max_gen_len=5))
+    assert chunks[-1]["text"] == batch_out, (chunks[-1], batch_out)

@@ -344,3 +344,67 @@ def test_randomized_soak_invariants(model):
     held = len(cb._prefix_map)
     assert cb.pool.free_pages + held == cb.total_pages - 1
     assert all(not v for v in cb.slot_pages.values())
+
+
+def test_never_admittable_request_fails_not_spins(model):
+    """A prompt needing more pages than the whole pool must fail the
+    request (done, no output) instead of busy-spinning run() forever."""
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=1, page_size=32,
+                           pages_per_seq=4, total_pages=3)
+    cb.add_request("the quick brown fox " * 20, max_gen_len=4)
+    assert len(cb.pending[0].prompt_tokens) > 2 * 32  # needs 3+ pages > 2
+    guard = 0
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+        guard += 1
+        assert guard < 50, "scheduler spinning on never-admittable request"
+    assert len(cb.finished) == 1 and cb.finished[0].done
+
+
+def test_single_slot_full_pool_prompt_admits(model):
+    """slots=1 with the default pool: a prompt filling every allocatable
+    page must still admit (the +1 preemption headroom is waived when the
+    pool could never provide it)."""
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=1, page_size=32,
+                           pages_per_seq=4)  # total_pages = 5, max_alloc 4
+    long_prompt = "the quick brown fox jumps over the lazy dog " * 10
+    cb.add_request(long_prompt, max_gen_len=3)
+    assert len(cb.pending[0].prompt_tokens) > 3 * 32  # needs all 4 pages
+    guard = 0
+    while cb.pending or any(r is not None for r in cb.active.values()):
+        cb.step()
+        guard += 1
+        assert guard < 200
+    assert len(cb.finished) == 1
+    assert len(cb.finished[0].output_tokens) > 0
+
+
+def test_overlong_prompt_clamped_to_page_capacity(model):
+    """add_request clamps the prompt to pages_per_seq*page_size - margin;
+    the old negative-slice/no-clamp crashed the page_table row assign."""
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=2, page_size=32,
+                           pages_per_seq=3)
+    cb.add_request("hello world this is a scheduler test " * 30,
+                   max_gen_len=4)
+    assert len(cb.pending[0].prompt_tokens) <= 3 * 32 - 1
+    outs = cb.run([], max_gen_len=4)  # drain the pending one
+    assert len(cb.finished) == 1
+
+
+def test_prefix_cache_hash_collision_not_served(model):
+    """Two different prompts forced onto the SAME rolling-hash keys must
+    not share pages — entries carry token content and verify on hit."""
+    cb = ContinuousBatcher(model.module, model.args, model.params,
+                           model.tokenizer, slots=2, page_size=32,
+                           prefix_cache=True)
+    ref = ContinuousBatcher(model.module, model.args, model.params,
+                            model.tokenizer, slots=2, page_size=32)
+    cb._prefix_keys = lambda tokens: [1234] * (len(tokens) // 32)
+    p1 = "the quick brown fox jumps over the lazy dog " * 3
+    p2 = "hello world this is a scheduler test hello " * 3
+    got = cb.run([p1, p2], max_gen_len=6)
+    want = ref.run([p1, p2], max_gen_len=6)
+    assert got == want
