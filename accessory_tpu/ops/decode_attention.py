@@ -792,8 +792,11 @@ def _kernel_bloop_w8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
                      outks_ref, outvs_ref):
     """int8 variant of _kernel_bloop_w: fused decode attention + in-place
     quantized cache update. Blocks: kc/vc (b_blk,1,HD,S) int8; ks/vs
-    (b_blk,1,S) f32 scales; outk/outv int8 (HD,128) tiles + outks/outvs
-    (1,128) scale tiles, all aliased to the pools."""
+    (b_blk,1,1,S) f32 scales (4D with a singleton sublane axis — Mosaic
+    requires the block's last-two dims be 8/128-divisible or equal to the
+    array dims, so the (B,NKV,S) pools are viewed as (B,NKV,1,S));
+    outk/outv int8 (HD,128) tiles + outks/outvs (1,1,128) scale tiles,
+    all aliased to the pools."""
     B = q_ref.shape[0]
     base = pl.program_id(1) * B
     hd = q_ref.shape[3]
@@ -806,8 +809,8 @@ def _kernel_bloop_w8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
         q = q_ref[b, 0]                                  # (R, HD) bf16
         kc = kc_ref[b, 0].astype(jnp.bfloat16)           # (HD, S) exact
         vc = vc_ref[b, 0].astype(jnp.bfloat16)
-        ksc = ks_ref[b, 0:1, :]                          # (1, S) f32
-        vsc = vs_ref[b, 0:1, :]
+        ksc = ks_ref[b, 0]                               # (1, S) f32
+        vsc = vs_ref[b, 0]
         s_old = jax.lax.dot_general(
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * (ksc * scale)  # (R, S)
@@ -844,10 +847,10 @@ def _kernel_bloop_w8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
         outk_ref[b, 0] = jnp.where(wmask, kq[:, None], oldk).astype(jnp.int8)
         outv_ref[b, 0] = jnp.where(wmask, vq[:, None], oldv).astype(jnp.int8)
         smask = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == col
-        outks_ref[b] = jnp.where(smask, ks_new,
-                                 ks_ref[b, 0:1, pl.ds(tile0, 128)])
-        outvs_ref[b] = jnp.where(smask, vs_new,
-                                 vs_ref[b, 0:1, pl.ds(tile0, 128)])
+        outks_ref[b, 0] = jnp.where(smask, ks_new,
+                                    ks_ref[b, 0, :, pl.ds(tile0, 128)])
+        outvs_ref[b, 0] = jnp.where(smask, vs_new,
+                                    vs_ref[b, 0, :, pl.ds(tile0, 128)])
 
 
 @functools.partial(jax.jit, static_argnames=("b_blk", "interpret"))
@@ -859,10 +862,12 @@ def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
     S = cache_k.shape[3]
     head = lambda j, i, lens, p: (i, j, 0, 0)
     tile = lambda j, i, lens, p: (i, j, 0, p[0] // 128)
-    shead = lambda j, i, lens, p: (i, j, 0)
-    stile = lambda j, i, lens, p: (i, j, p[0] // 128)
+    shead = lambda j, i, lens, p: (i, j, 0, 0)
+    stile = lambda j, i, lens, p: (i, j, 0, p[0] // 128)
     pool = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
-    spool = jax.ShapeDtypeStruct(cache_ks.shape, cache_ks.dtype)
+    # scales viewed 4D (B, NKV, 1, S): reshape is a bitcast; keeps the
+    # block's last-two dims Mosaic-legal (see kernel docstring)
+    spool = jax.ShapeDtypeStruct((b, nkv, 1, S), cache_ks.dtype)
     out, wk, wv, wks, wvs = pl.pallas_call(
         _kernel_bloop_w8,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -879,9 +884,9 @@ def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_blk, 1, hd, S), head,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, S), shead,
+                pl.BlockSpec((b_blk, 1, 1, S), shead,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, S), shead,
+                pl.BlockSpec((b_blk, 1, 1, S), shead,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -891,9 +896,9 @@ def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_blk, 1, hd, 128), tile,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 128), stile,
+                pl.BlockSpec((b_blk, 1, 1, 128), stile,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 128), stile,
+                pl.BlockSpec((b_blk, 1, 1, 128), stile,
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -905,8 +910,9 @@ def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
         interpret=interpret,
     )(lengths.astype(jnp.int32),
       jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
-      q, k_new, v_new, cache_k, cache_v, cache_ks, cache_vs)
-    return out, wk, wv, wks, wvs
+      q, k_new, v_new, cache_k, cache_v,
+      cache_ks.reshape(b, nkv, 1, S), cache_vs.reshape(b, nkv, 1, S))
+    return out, wk, wv, wks.reshape(b, nkv, S), wvs.reshape(b, nkv, S)
 
 
 def _kernel_bloop_ws8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
@@ -939,8 +945,8 @@ def _kernel_bloop_ws8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
         q = q_ref[b, 0]                                  # (R, HD)
         kc = kc_ref[b, 0].astype(jnp.bfloat16)           # (HD, CS)
         vc = vc_ref[b, 0].astype(jnp.bfloat16)
-        ksc = ks_ref[b, 0:1, :]                          # (1, CS) f32
-        vsc = vs_ref[b, 0:1, :]
+        ksc = ks_ref[b, 0]                               # (1, CS) f32
+        vsc = vs_ref[b, 0]
         s = jax.lax.dot_general(
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * (ksc * scale)  # (R, CS)
@@ -988,10 +994,10 @@ def _kernel_bloop_ws8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
             outv_ref[b, 0] = jnp.where(wmask, vq[:, None],
                                        oldv).astype(jnp.int8)
             smask = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == col
-            outks_ref[b] = jnp.where(smask, ks_new,
-                                     ks_ref[b, 0:1, pl.ds(ltile, 128)])
-            outvs_ref[b] = jnp.where(smask, vs_new,
-                                     vs_ref[b, 0:1, pl.ds(ltile, 128)])
+            outks_ref[b, 0] = jnp.where(smask, ks_new,
+                                        ks_ref[b, 0, :, pl.ds(ltile, 128)])
+            outvs_ref[b, 0] = jnp.where(smask, vs_new,
+                                        vs_ref[b, 0, :, pl.ds(ltile, 128)])
 
 
 @functools.partial(jax.jit, static_argnames=("b_blk", "cs", "interpret"))
@@ -1004,10 +1010,11 @@ def _decode_attn_bloop_ws8(q, k_new, v_new, cache_k, cache_v, cache_ks,
     head = lambda j, i, s, lens, p: (i, j, 0, 0)
     chunk = lambda j, i, s, lens, p: (i, j, 0, s)
     tile = lambda j, i, s, lens, p: (i, j, 0, p[0] // 128)
-    schunk = lambda j, i, s, lens, p: (i, j, s)
-    stile = lambda j, i, s, lens, p: (i, j, p[0] // 128)
+    schunk = lambda j, i, s, lens, p: (i, j, 0, s)
+    stile = lambda j, i, s, lens, p: (i, j, 0, p[0] // 128)
     pool = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
-    spool = jax.ShapeDtypeStruct(cache_ks.shape, cache_ks.dtype)
+    # scales viewed 4D (B, NKV, 1, S) — see _decode_attn_bloop_w8
+    spool = jax.ShapeDtypeStruct((b, nkv, 1, S), cache_ks.dtype)
     out, wk, wv, wks, wvs = pl.pallas_call(
         _kernel_bloop_ws8,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1024,9 +1031,9 @@ def _decode_attn_bloop_ws8(q, k_new, v_new, cache_k, cache_v, cache_ks,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_blk, 1, hd, cs), chunk,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, cs), schunk,
+                pl.BlockSpec((b_blk, 1, 1, cs), schunk,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, cs), schunk,
+                pl.BlockSpec((b_blk, 1, 1, cs), schunk,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -1036,9 +1043,9 @@ def _decode_attn_bloop_ws8(q, k_new, v_new, cache_k, cache_v, cache_ks,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_blk, 1, hd, 128), tile,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 128), stile,
+                pl.BlockSpec((b_blk, 1, 1, 128), stile,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 128), stile,
+                pl.BlockSpec((b_blk, 1, 1, 128), stile,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -1055,8 +1062,9 @@ def _decode_attn_bloop_ws8(q, k_new, v_new, cache_k, cache_v, cache_ks,
         interpret=interpret,
     )(lengths.astype(jnp.int32),
       jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
-      q, k_new, v_new, cache_k, cache_v, cache_ks, cache_vs)
-    return out, wk, wv, wks, wvs
+      q, k_new, v_new, cache_k, cache_v,
+      cache_ks.reshape(b, nkv, 1, S), cache_vs.reshape(b, nkv, 1, S))
+    return out, wk, wv, wks.reshape(b, nkv, S), wvs.reshape(b, nkv, S)
 
 
 def _kernel_bloop8(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
@@ -1071,8 +1079,8 @@ def _kernel_bloop8(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
         q = q_ref[b, 0]
         kc = kc_ref[b, 0].astype(jnp.bfloat16)
         vc = vc_ref[b, 0].astype(jnp.bfloat16)
-        ksc = ks_ref[b, 0:1, :]
-        vsc = vs_ref[b, 0:1, :]
+        ksc = ks_ref[b, 0]                               # (1, S) f32
+        vsc = vs_ref[b, 0]
         s_old = jax.lax.dot_general(
             q, kc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * (ksc * scale)
@@ -1103,7 +1111,7 @@ def _decode_attn_bloop8(q, k_new, v_new, cache_k, cache_v, cache_ks,
     b, nkv, r, hd = q.shape
     S = cache_k.shape[3]
     head = lambda j, i, lens: (i, j, 0, 0)
-    shead = lambda j, i, lens: (i, j, 0)
+    shead = lambda j, i, lens: (i, j, 0, 0)
     return pl.pallas_call(
         _kernel_bloop8,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1120,9 +1128,9 @@ def _decode_attn_bloop8(q, k_new, v_new, cache_k, cache_v, cache_ks,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b_blk, 1, hd, S), head,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, S), shead,
+                pl.BlockSpec((b_blk, 1, 1, S), shead,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, S), shead,
+                pl.BlockSpec((b_blk, 1, 1, S), shead,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((b_blk, 1, r, hd), head,
@@ -1131,7 +1139,7 @@ def _decode_attn_bloop8(q, k_new, v_new, cache_k, cache_v, cache_ks,
         out_shape=jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
         interpret=interpret,
     )(lengths.astype(jnp.int32), q, k_new, v_new, cache_k, cache_v,
-      cache_ks, cache_vs)
+      cache_ks.reshape(b, nkv, 1, S), cache_vs.reshape(b, nkv, 1, S))
 
 
 def cached_attention_t8(q, k_new, v_new, cache_k, cache_v, cache_ks,
@@ -1215,8 +1223,8 @@ def _col_write_kernel4_q8(pos_ref, updk_ref, updv_ref, updks_ref, updvs_ref,
                                  blk).astype(jnp.int8)
     for upd_ref, blk_ref, out_ref in ((updks_ref, cks_ref, outks_ref),
                                       (updvs_ref, cvs_ref, outvs_ref)):
-        blk = blk_ref[...]
-        mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 2) == col
+        blk = blk_ref[...]                      # (B, nb, 1, 128) 4D view
+        mask = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 3) == col
         out_ref[...] = jnp.where(mask, upd_ref[...], blk)
 
 
@@ -1226,18 +1234,20 @@ def _write_col_layer_q8(cache_k, cache_v, cache_ks, cache_vs,
     B, NKV, HD, S = cache_k.shape
     nb = _pick_nkv_blk(B, NKV, HD, cache_k.dtype.itemsize + 1)
     tile = lambda n, scal: (0, n, 0, scal[0] // 128)
-    stile = lambda n, scal: (0, n, scal[0] // 128)
+    stile = lambda n, scal: (0, n, 0, scal[0] // 128)
     upd_spec = pl.BlockSpec((B, nb, HD, 1), lambda n, scal: (0, n, 0, 0),
                             memory_space=pltpu.VMEM)
-    supd_spec = pl.BlockSpec((B, nb, 1), lambda n, scal: (0, n, 0),
+    # scales viewed 4D (B, NKV, 1, ...) so the block's last-two dims stay
+    # Mosaic-legal for any nb (see _decode_attn_bloop_w8)
+    supd_spec = pl.BlockSpec((B, nb, 1, 1), lambda n, scal: (0, n, 0, 0),
                              memory_space=pltpu.VMEM)
     pool_spec = pl.BlockSpec((B, nb, HD, 128), tile,
                              memory_space=pltpu.VMEM)
-    spool_spec = pl.BlockSpec((B, nb, 128), stile,
+    spool_spec = pl.BlockSpec((B, nb, 1, 128), stile,
                               memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
-    sshape = jax.ShapeDtypeStruct(cache_ks.shape, cache_ks.dtype)
-    return pl.pallas_call(
+    sshape = jax.ShapeDtypeStruct((B, NKV, 1, S), cache_ks.dtype)
+    wk, wv, wks, wvs = pl.pallas_call(
         _col_write_kernel4_q8,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1251,7 +1261,10 @@ def _write_col_layer_q8(cache_k, cache_v, cache_ks, cache_vs,
         input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
         interpret=interpret,
     )(jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
-      upd_k, upd_v, upd_ks, upd_vs, cache_k, cache_v, cache_ks, cache_vs)
+      upd_k, upd_v, upd_ks.reshape(B, NKV, 1, 1),
+      upd_vs.reshape(B, NKV, 1, 1), cache_k, cache_v,
+      cache_ks.reshape(B, NKV, 1, S), cache_vs.reshape(B, NKV, 1, S))
+    return wk, wv, wks.reshape(B, NKV, S), wvs.reshape(B, NKV, S)
 
 
 def _write_kernel4_q8(pos_ref, updk_ref, updv_ref, updks_ref, updvs_ref,
