@@ -201,9 +201,8 @@ def dit_forward(
         return h, None
 
     if remat:
-        body = jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        from accessory_tpu.util import remat_policy
+        body = jax.checkpoint(body, policy=remat_policy(remat))
     h, _ = jax.lax.scan(body, h, params["layers"])
 
     fin = params["final"]

@@ -43,7 +43,7 @@ def get_args_parser():
     return p
 
 
-def make_dit_train_step(args_d, diffusion, tx, remat: bool = True):
+def make_dit_train_step(args_d, diffusion, tx, remat=True):
     from accessory_tpu.dit.model import dit_forward
 
     def loss_fn(params, latents, labels, t, key, cap_feats=None):

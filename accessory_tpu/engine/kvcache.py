@@ -6,9 +6,20 @@ case per sequence) with a shared page pool: sequences own pages on demand, so
 max_seq_len is no longer pre-paid per slot and long-context serving scales
 by pool size, not batch×max_len (SURVEY.md §5 long-context note).
 
-Layout (kernel-native, jax paged_attention expects kv as
-[n_kv_heads, total_pages, page_size, head_dim]):
-  k_pages/v_pages: (n_layers, n_kv, total_pages, page_size, hd)
+Layout (Mosaic-native): pools store each page with a 128-lane minor dim so
+the Pallas kernel's per-page HBM DMA slices are tile-aligned (Mosaic
+rejects HBM memref slices whose minor dim isn't a multiple of the 128
+lane tile — chip-verified failure mode for head_dim < 128):
+  k_pages/v_pages: (n_layers, n_kv, total_pages, page_size//k, k*hd) where
+                   k = 128//hd when hd < 128 (else 1). Token t of a page
+                   sits at row t % psk, lanes (t//psk)*hd..+hd with
+                   psk = page_size//k — COLUMN-major placement, so each
+                   lane-group g holds the contiguous token range
+                   [g*psk, (g+1)*psk) and in-kernel masks stay iota
+                   compares.
+  ks/vs_pages:     int8 pools only — (n_layers, n_kv, total_pages, srows,
+                   128) f32, scale of token t at (t//128, t%128)
+                   (identity lane order; srows = ceil(page_size/128)).
   page_indices:    (batch_slots, pages_per_seq) int32 — physical page per
                    logical page of each sequence slot
   lengths:         (batch_slots,) int32 — tokens currently in each slot
@@ -28,20 +39,35 @@ import jax
 import jax.numpy as jnp
 
 
+def fold_factor(head_dim: int, page_size: int) -> int:
+    """Lane-fold factor for pool storage: pages store (page_size//k, k*hd)
+    so the minor dim hits the 128-lane tile exactly. 1 = unfolded."""
+    if head_dim < 128 and 128 % head_dim == 0 and page_size % (128 // head_dim) == 0:
+        return 128 // head_dim
+    return 1
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PagedKVCache:
-    k_pages: jnp.ndarray  # (L, n_kv, P, page_size, hd)
+    k_pages: jnp.ndarray  # (L, n_kv, P, page_size//fold, fold*hd)
     v_pages: jnp.ndarray
     page_indices: jnp.ndarray  # (slots, pages_per_seq) i32
     lengths: jnp.ndarray  # (slots,) i32
-    # int8 pools only: per-token-per-head f32 scales (L, n_kv, P, page_size)
+    # int8 pools only: per-token-per-head f32 scales (L, n_kv, P, srows, 128)
     ks_pages: Optional[jnp.ndarray] = None
     vs_pages: Optional[jnp.ndarray] = None
+    # head_dim is static metadata: pool shapes alone can't recover the fold
+    head_dim: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def fold(self) -> int:
+        hd = self.head_dim or self.k_pages.shape[4]
+        return self.k_pages.shape[4] // hd
 
     @property
     def page_size(self) -> int:
-        return self.k_pages.shape[3]
+        return self.k_pages.shape[3] * self.fold
 
     @property
     def pages_per_seq(self) -> int:
@@ -75,14 +101,18 @@ def init_paged_cache(
     int8_kv = kv_dtype in ("int8", "i8")
     if int8_kv:
         dtype = jnp.int8
-    shape = (n_layers, n_kv, total_pages, page_size, head_dim)
+    fold = fold_factor(head_dim, page_size)
+    shape = (n_layers, n_kv, total_pages, page_size // fold, fold * head_dim)
+    srows = -(-page_size // 128)
+    sshape = (n_layers, n_kv, total_pages, srows, 128)
     return PagedKVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
         page_indices=idx,
         lengths=jnp.zeros((slots,), jnp.int32),
-        ks_pages=jnp.zeros(shape[:4], jnp.float32) if int8_kv else None,
-        vs_pages=jnp.zeros(shape[:4], jnp.float32) if int8_kv else None,
+        ks_pages=jnp.zeros(sshape, jnp.float32) if int8_kv else None,
+        vs_pages=jnp.zeros(sshape, jnp.float32) if int8_kv else None,
+        head_dim=head_dim,
     )
 
 
@@ -174,12 +204,19 @@ def write_tokens_all_layers(
     """One bulk scatter of every layer's new tokens into the pools —
     replaces per-layer writes inside the scan (which copy the whole pool).
     With int8 pools (scale pools given) tokens are quantized per-vector
-    first and returns (k, v, ks, vs)."""
+    first and returns (k, v, ks, vs).
+
+    Fold-aware: pools store (psk, k*hd) pages (module docstring); token t
+    of a page goes to row t % psk, lane group t // psk via a free 6D view
+    of the pool, scales to (t//128, t%128) of the padded scale rows."""
     L, b, s, n_kv, hd = k_new.shape
-    ps = k_pages.shape[3]
+    fold = k_pages.shape[4] // hd
+    psk = k_pages.shape[3]
+    ps = psk * fold
+    P = k_pages.shape[2]
     pos = start_pos[:, None] + jnp.arange(s)[None, :]  # (b, s)
     page = jnp.take_along_axis(page_indices, pos // ps, axis=1).reshape(-1)
-    slot = (pos % ps).reshape(-1)
+    t = (pos % ps).reshape(-1)
     ksc = vsc = None
     if ks_pages is not None:
         from accessory_tpu.ops.decode_attention import quantize_kv_chunk
@@ -188,13 +225,23 @@ def write_tokens_all_layers(
         v_new, vsc = quantize_kv_chunk(v_new)
     kn = k_new.transpose(0, 3, 1, 2, 4).reshape(L, n_kv, b * s, hd)
     vn = v_new.transpose(0, 3, 1, 2, 4).reshape(L, n_kv, b * s, hd)
-    k_pages = k_pages.at[:, :, page, slot, :].set(kn.astype(k_pages.dtype))
-    v_pages = v_pages.at[:, :, page, slot, :].set(vn.astype(v_pages.dtype))
+    if fold == 1:
+        k_pages = k_pages.at[:, :, page, t, :].set(kn.astype(k_pages.dtype))
+        v_pages = v_pages.at[:, :, page, t, :].set(vn.astype(v_pages.dtype))
+    else:
+        row, grp = t % psk, t // psk
+        k6 = k_pages.reshape(L, n_kv, P, psk, fold, hd)
+        v6 = v_pages.reshape(L, n_kv, P, psk, fold, hd)
+        k6 = k6.at[:, :, page, row, grp, :].set(kn.astype(k_pages.dtype))
+        v6 = v6.at[:, :, page, row, grp, :].set(vn.astype(v_pages.dtype))
+        k_pages = k6.reshape(L, n_kv, P, psk, fold * hd)
+        v_pages = v6.reshape(L, n_kv, P, psk, fold * hd)
     if ks_pages is None:
         return k_pages, v_pages
-    ks_pages = ks_pages.at[:, :, page, slot].set(
+    trow, tlane = t // 128, t % 128
+    ks_pages = ks_pages.at[:, :, page, trow, tlane].set(
         ksc.transpose(0, 3, 1, 2).reshape(L, n_kv, b * s))
-    vs_pages = vs_pages.at[:, :, page, slot].set(
+    vs_pages = vs_pages.at[:, :, page, trow, tlane].set(
         vsc.transpose(0, 3, 1, 2).reshape(L, n_kv, b * s))
     return k_pages, v_pages, ks_pages, vs_pages
 
@@ -231,7 +278,7 @@ def paged_attention_xla(
 
 
 def gather_pages(k_pages, v_pages, page_indices, active_pages=None,
-                 ks_pages=None, vs_pages=None):
+                 ks_pages=None, vs_pages=None, head_dim=None):
     """Dense (b, ctx, n_kv, hd) views of each slot's pages.
 
     ``active_pages`` (static int) bounds the gather to the first N logical
@@ -239,22 +286,41 @@ def gather_pages(k_pages, v_pages, page_indices, active_pages=None,
     traffic scales with the ACTUAL context, not max_seq_len (VERDICT r1:
     the gather path used to read pages_per_seq * ps regardless).
 
+    ``head_dim``: real head dim for fold-stored pools (module docstring);
+    None means the pool is unfolded (minor dim == hd).
+
     int8 pools (``ks_pages``/``vs_pages`` scales given) dequantize after
     the gather: pool reads stay at the 1-byte footprint."""
-    n_kv, _, ps, hd = k_pages.shape
+    n_kv, _, psk, minor = k_pages.shape
+    hd = head_dim or minor
+    fold = minor // hd
+    ps = psk * fold
     if active_pages is not None:
         page_indices = page_indices[:, :active_pages]
     b, pages = page_indices.shape
     ctx = pages * ps
-    k = k_pages[:, page_indices].transpose(1, 2, 3, 0, 4).reshape(
-        b, ctx, n_kv, hd)
-    v = v_pages[:, page_indices].transpose(1, 2, 3, 0, 4).reshape(
-        b, ctx, n_kv, hd)
+
+    def unfold(p):  # (n_kv, b, pages, psk, fold*hd) -> (b, ctx, n_kv, hd)
+        if fold > 1:
+            p = p.reshape(n_kv, b, pages, psk, fold, hd).transpose(
+                0, 1, 2, 4, 3, 5)
+        return p.reshape(n_kv, b, pages, ps, hd).transpose(
+            1, 2, 3, 0, 4).reshape(b, ctx, n_kv, hd)
+
+    k = unfold(k_pages[:, page_indices])
+    v = unfold(v_pages[:, page_indices])
     if ks_pages is not None:
-        ks = ks_pages[:, page_indices].transpose(1, 2, 3, 0).reshape(
-            b, ctx, n_kv)
-        vs = vs_pages[:, page_indices].transpose(1, 2, 3, 0).reshape(
-            b, ctx, n_kv)
+        if ks_pages.ndim == 4:  # (n_kv, P, srows, 128) padded layout
+            srows = ks_pages.shape[2]
+            ks = ks_pages[:, page_indices].reshape(
+                n_kv, b, pages, srows * 128)[..., :ps]
+            vs = vs_pages[:, page_indices].reshape(
+                n_kv, b, pages, srows * 128)[..., :ps]
+        else:  # legacy (n_kv, P, ps)
+            ks = ks_pages[:, page_indices]
+            vs = vs_pages[:, page_indices]
+        ks = ks.transpose(1, 2, 3, 0).reshape(b, ctx, n_kv)
+        vs = vs.transpose(1, 2, 3, 0).reshape(b, ctx, n_kv)
         k = (k.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
         v = (v.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
     return k, v
@@ -284,14 +350,22 @@ def paged_cached_attention(
     from accessory_tpu.ops.attention import cached_attention
 
     mode = os.environ.get("ACCESSORY_PAGED_KERNEL", "1")
+    hd = q.shape[-1]
     # sq == 1: decode. 1 < sq <= 16: speculative-verify / short chunks —
     # still bandwidth-bound, so the kernel wins; large chunks stay on the
     # gather + dense-attention path (compute-bound, flash handles them).
+    # On real hardware the kernel additionally needs Mosaic-aligned pools:
+    # minor dim a multiple of the 128-lane tile (fold-stored pools) and,
+    # for int8, single-row scale pages.
+    aligned = (k_pages.shape[-1] % 128 == 0
+               and (ks_pages is None
+                    or (ks_pages.ndim == 4 and ks_pages.shape[-2] == 1)))
     use_kernel = (
         q.shape[1] <= 16
-        and q.shape[-1] % 8 == 0
+        and hd % 8 == 0
         and (mode == "interpret"
-             or (mode == "1" and jax.default_backend() == "tpu"))
+             or (mode == "1" and jax.default_backend() == "tpu"
+                 and aligned))
     )
     if use_kernel:
         from accessory_tpu.ops.paged_decode import paged_decode_attention
@@ -301,7 +375,7 @@ def paged_cached_attention(
             active_pages, ks_pages, vs_pages,
             interpret=mode == "interpret")
     k, v = gather_pages(k_pages, v_pages, page_indices, active_pages,
-                        ks_pages, vs_pages)
+                        ks_pages, vs_pages, head_dim=hd)
     return cached_attention(q, k_new, v_new, k, v, lengths_old)
 
 

@@ -27,6 +27,7 @@ from accessory_tpu.ops.decode_attention import (cached_attention_t,
                                                 write_kv_t8)
 from accessory_tpu.ops.linear import linear
 from accessory_tpu.ops.norms import layer_norm, rms_norm
+from accessory_tpu.util import remat_policy
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
 Params = Dict[str, Any]
@@ -243,7 +244,7 @@ def forward(
     block = _block
     if remat:
         block = jax.checkpoint(
-            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            _block, policy=remat_policy(remat),
             static_argnums=(2,))
 
     if cache is not None and isinstance(params["layers"], (list, tuple)):

@@ -41,6 +41,7 @@ from accessory_tpu.ops.decode_attention import (cached_attention_t,
                                                 write_kv_t8)
 from accessory_tpu.ops.linear import linear, module_linear, module_linear_nr
 from accessory_tpu.ops.norms import rms_norm
+from accessory_tpu.util import remat_policy
 from accessory_tpu.ops.rope import apply_rope, precompute_rope, rope_rows
 
 Params = Dict[str, Any]
@@ -427,11 +428,12 @@ def forward(
         kv_len = None
 
     rope_t = None
-    # default OFF until the epilogue's Mosaic lowering is verified on the
-    # real chip (relay down when this landed); numerics are pinned by
-    # tests/test_rope_fuse.py in interpret mode either way
+    # default ON: chip-verified exact vs the XLA rope (exps/
+    # verify_kv_int8_tpu.py, max|d|=0) and measured +5% decode throughput
+    # (BENCHMARKS.md rope-fuse A/B); numerics also pinned by
+    # tests/test_rope_fuse.py in interpret mode
     if (cache is not None and sq == 1
-            and os.environ.get("ACCESSORY_ROPE_FUSE", "0") == "1"):
+            and os.environ.get("ACCESSORY_ROPE_FUSE", "1") == "1"):
         # decode-RoPE as per-column rows, folded into the fused-wqkv
         # kernel epilogue (one shared position for the whole batch);
         # built ONCE per step, shared by every layer
@@ -442,7 +444,7 @@ def forward(
     block = _block
     if remat:
         block = jax.checkpoint(
-            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            _block, policy=remat_policy(remat),
             static_argnums=(2,))
 
     if cache is not None and isinstance(params["layers"], (list, tuple)):

@@ -27,6 +27,7 @@ from accessory_tpu.ops.attention import attention
 from accessory_tpu.ops.decode_attention import cached_attention_t, write_kv_t
 from accessory_tpu.ops.linear import module_linear
 from accessory_tpu.ops.norms import rms_norm
+from accessory_tpu.util import remat_policy
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
 Params = Dict[str, Any]
@@ -242,7 +243,7 @@ def forward(
 
     if remat:
         block = jax.checkpoint(
-            block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            block, policy=remat_policy(remat))
 
     ad = params["adapter"]
     if cache is not None:

@@ -32,6 +32,7 @@ from accessory_tpu.ops.decode_attention import (cached_attention_t,
 from accessory_tpu.ops.linear import linear, module_linear
 from accessory_tpu.ops.moe import moe_ffn
 from accessory_tpu.ops.norms import rms_norm
+from accessory_tpu.util import remat_policy
 from accessory_tpu.ops.rope import apply_rope, precompute_rope
 
 Params = Dict[str, Any]
@@ -272,7 +273,7 @@ def forward(
     block = _block
     if remat:
         block = jax.checkpoint(
-            _block, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            _block, policy=remat_policy(remat),
             static_argnums=(2, 9, 10))
 
     balance = with_aux_loss and cache is None

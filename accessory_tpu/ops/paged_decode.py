@@ -12,8 +12,16 @@ Design notes:
   * grid (b, n_kv); each program loops over the slot's ``active_pages``
     logical pages (static per scheduler bucket), so the page loop unrolls
     at trace time and buffer parity is static.
-  * k/v pools stay in ``pltpu.ANY`` (HBM). Page blocks (page_size, hd) are
-    contiguous, so each DMA is one dense (ps*hd)-element transfer.
+  * k/v pools stay in ``pltpu.ANY`` (HBM) and are FOLD-stored
+    (engine/kvcache.py module docstring): each page is (psk, fold*hd)
+    with fold = 128//hd for hd < 128, so the minor dim hits the 128-lane
+    tile exactly. Mosaic rejects HBM memref slices whose minor dim is not
+    tile-aligned ("Slice shape along dimension 3 must be aligned to
+    tiling (128)" — chip-verified), which is what killed the unfolded
+    (page_size, hd) layout for hd=64 models. Tokens are placed
+    COLUMN-major: lane group g holds the contiguous token range
+    [g*psk, (g+1)*psk), so per-group masks stay iota compares and int8
+    scale lanes stay in identity token order.
   * pages past a sequence's allocation point at the TRASH page (pool page
     0, engine/kvcache.py PagePool) — the DMA is harmless and the scores are
     masked by ``lengths`` exactly like the XLA oracle.
@@ -22,6 +30,7 @@ Design notes:
     and the model does one bulk multi-layer write per step.
   * int8 pools: values upcast int8→bf16 exactly (|q| <= 127), per-token
     scales fold into the score/prob rows — same math as _kernel_bloop_w8.
+    Scale pages are (1, 128) f32 rows (page_size <= 128), DMA'd whole.
 
 Replaces the bundled jax paged_attention kernel (whose remote compile on
 this environment exceeds 9 min) on the serving decode path; reference role:
@@ -41,13 +50,46 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r):
+    """Two-part softmax epilogue over the chunk's NEW tokens (not yet in
+    pages): sq == 1 is plain decode, sq > 1 adds a causal block."""
+    sq = kn_ref.shape[2]
+    kn = kn_ref[0, 0].astype(jnp.float32)              # (SQ, HD)
+    vn = vn_ref[0, 0].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    if sq == 1:
+        s_new = jnp.sum(qf * kn[0][None, :], axis=1,
+                        keepdims=True) * scale         # (R, 1)
+        m_fin = jnp.maximum(m, s_new)
+        a_fin = jnp.exp(m - m_fin)
+        p_new = jnp.exp(s_new - m_fin)
+        denom = denom * a_fin + p_new
+        out = acc * a_fin + p_new * vn[0][None, :]
+    else:
+        s_new = jax.lax.dot_general(
+            qf, kn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (SQ*R, SQ)
+        rowt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 0) // r
+        colt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 1)
+        s_new = jnp.where(colt <= rowt, s_new, NEG_INF)
+        m_fin = jnp.maximum(m, jnp.max(s_new, axis=1, keepdims=True))
+        a_fin = jnp.exp(m - m_fin)
+        p_new = jnp.exp(s_new - m_fin)                 # (SQ*R, SQ)
+        denom = denom * a_fin + jnp.sum(p_new, axis=1, keepdims=True)
+        out = acc * a_fin + jax.lax.dot_general(
+            p_new, vn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+
+
 def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
                   out_ref, k_buf, v_buf, k_sem, v_sem, *, r):
     """Grid (B, NKV). pt/lens in SMEM; q (1,1,SQ*R,HD) — SQ new-chunk
     queries per kv head, R = nq//nkv rows each (row t*R+g is query token t,
     group g); kn/vn (1,1,SQ,HD) the chunk's NEW k/v (not yet in pages);
-    kp/vp full (NKV, P, ps, HD) refs in ANY; out (1,1,SQ*R,HD);
-    k_buf/v_buf (2, ps, HD) VMEM scratch; k_sem/v_sem DMA((2,)).
+    kp/vp full (NKV, P, psk, fold*HD) fold-stored refs in ANY;
+    out (1,1,SQ*R,HD); k_buf/v_buf (2, psk, fold*HD) VMEM scratch;
+    k_sem/v_sem DMA((2,)).
 
     All queries see every cached token (< lengths_old) plus a causal block
     over the chunk's own tokens — the paged form of
@@ -56,10 +98,11 @@ def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
     bi = pl.program_id(0)
     h = pl.program_id(1)
     J = pt_ref.shape[1]
-    ps = k_buf.shape[1]
+    psk = k_buf.shape[1]
     q = q_ref[0, 0]                                    # (SQ*R, HD)
     hd = q.shape[1]
-    sq = kn_ref.shape[2]
+    fold = k_buf.shape[2] // hd
+    ps = psk * fold
     scale = hd ** -0.5
     prec = (jax.lax.Precision.HIGHEST if kp_ref.dtype == jnp.float32
             else None)
@@ -90,67 +133,49 @@ def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
         wk.wait()
         wv.wait()
 
-        kc = k_buf[slot]                               # (ps, HD)
+        kc = k_buf[slot]                               # (psk, fold*HD)
         vc = v_buf[slot]
-        s = jax.lax.dot_general(
-            q, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec) * scale                    # (R, ps)
-        gcol = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(gcol < length, s, NEG_INF)
+        for g in range(fold):
+            kg = kc[:, g * hd:(g + 1) * hd] if fold > 1 else kc
+            vg = vc[:, g * hd:(g + 1) * hd] if fold > 1 else vc
+            s = jax.lax.dot_general(
+                q, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec) * scale                # (R, psk)
+            gcol = (j * ps + g * psk
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(gcol < length, s, NEG_INF)
 
-        m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_cur)
-        p = jnp.exp(s - m_cur)                         # (R, ps)
-        denom = denom * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(vc.dtype), vc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)  # (R, HD)
-        acc = acc * alpha + pv
-        m = m_cur
+            m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_cur)
+            p = jnp.exp(s - m_cur)                     # (R, psk)
+            denom = denom * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vg.dtype), vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                        # (R, HD)
+            acc = acc * alpha + pv
+            m = m_cur
 
-    kn = kn_ref[0, 0].astype(jnp.float32)              # (SQ, HD)
-    vn = vn_ref[0, 0].astype(jnp.float32)
-    qf = q.astype(jnp.float32)
-    if sq == 1:
-        s_new = jnp.sum(qf * kn[0][None, :], axis=1,
-                        keepdims=True) * scale         # (R, 1)
-        m_fin = jnp.maximum(m, s_new)
-        a_fin = jnp.exp(m - m_fin)
-        p_new = jnp.exp(s_new - m_fin)
-        denom = denom * a_fin + p_new
-        out = acc * a_fin + p_new * vn[0][None, :]
-    else:
-        s_new = jax.lax.dot_general(
-            qf, kn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (SQ*R, SQ)
-        rowt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 0) // r
-        colt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 1)
-        s_new = jnp.where(colt <= rowt, s_new, NEG_INF)
-        m_fin = jnp.maximum(m, jnp.max(s_new, axis=1, keepdims=True))
-        a_fin = jnp.exp(m - m_fin)
-        p_new = jnp.exp(s_new - m_fin)                 # (SQ*R, SQ)
-        denom = denom * a_fin + jnp.sum(p_new, axis=1, keepdims=True)
-        out = acc * a_fin + jax.lax.dot_general(
-            p_new, vn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+    _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r)
 
 
 def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
                    ksp_ref, vsp_ref, out_ref, k_buf, v_buf, ks_buf, vs_buf,
                    k_sem, v_sem, ks_sem, vs_sem, *, r):
-    """int8-pool variant: kp/vp int8 + ksp/vsp (NKV, P, ps) f32 per-token
-    scales, all in ANY. Scale rows fold into scores/probs (the int8→bf16
-    value upcast is exact for |q| <= 127). The chunk's NEW k/v stay exact
-    (they are quantized only when written to the pool, after this call)."""
+    """int8-pool variant: kp/vp int8 fold-stored + ksp/vsp (NKV, P, 1, 128)
+    f32 per-token scale rows (lane t = scale of page token t), all in ANY.
+    Scale slices fold into scores/probs (the int8→bf16 value upcast is
+    exact for |q| <= 127). The chunk's NEW k/v stay exact (they are
+    quantized only when written to the pool, after this call)."""
     bi = pl.program_id(0)
     h = pl.program_id(1)
     J = pt_ref.shape[1]
-    ps = k_buf.shape[1]
+    psk = k_buf.shape[1]
     q = q_ref[0, 0]                                    # (SQ*R, HD)
     hd = q.shape[1]
-    sq = kn_ref.shape[2]
+    fold = k_buf.shape[2] // hd
+    ps = psk * fold
     scale = hd ** -0.5
     length = lens_ref[bi]
 
@@ -182,62 +207,44 @@ def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
         for c in _copy(j, slot):
             c.wait()
 
-        kc = k_buf[slot].astype(jnp.bfloat16)          # (ps, HD) exact
+        kc = k_buf[slot].astype(jnp.bfloat16)          # (psk, fold*HD)
         vc = v_buf[slot].astype(jnp.bfloat16)
-        ksc = ks_buf[slot].reshape(1, ps)              # (1, ps) f32
-        vsc = vs_buf[slot].reshape(1, ps)
-        s = jax.lax.dot_general(
-            q, kc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (ksc * scale)  # (R, ps)
-        gcol = j * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(gcol < length, s, NEG_INF)
+        ksr = ks_buf[slot]                             # (1, 128) f32
+        vsr = vs_buf[slot]
+        for g in range(fold):
+            kg = kc[:, g * hd:(g + 1) * hd] if fold > 1 else kc
+            vg = vc[:, g * hd:(g + 1) * hd] if fold > 1 else vc
+            ksc = ksr[:, g * psk:(g + 1) * psk]        # (1, psk)
+            vsc = vsr[:, g * psk:(g + 1) * psk]
+            s = jax.lax.dot_general(
+                q, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (ksc * scale)
+            gcol = (j * ps + g * psk
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1))
+            s = jnp.where(gcol < length, s, NEG_INF)
 
-        m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_cur)
-        p = jnp.exp(s - m_cur)
-        denom = denom * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            (p * vsc).astype(jnp.bfloat16), vc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (R, HD)
-        acc = acc * alpha + pv
-        m = m_cur
+            m_cur = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_cur)
+            p = jnp.exp(s - m_cur)
+            denom = denom * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                (p * vsc).astype(jnp.bfloat16), vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (R, HD)
+            acc = acc * alpha + pv
+            m = m_cur
 
-    kn = kn_ref[0, 0].astype(jnp.float32)              # (SQ, HD)
-    vn = vn_ref[0, 0].astype(jnp.float32)
-    qf = q.astype(jnp.float32)
-    if sq == 1:
-        s_new = jnp.sum(qf * kn[0][None, :], axis=1,
-                        keepdims=True) * scale
-        m_fin = jnp.maximum(m, s_new)
-        a_fin = jnp.exp(m - m_fin)
-        p_new = jnp.exp(s_new - m_fin)
-        denom = denom * a_fin + p_new
-        out = acc * a_fin + p_new * vn[0][None, :]
-    else:
-        s_new = jax.lax.dot_general(
-            qf, kn, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (SQ*R, SQ)
-        rowt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 0) // r
-        colt = jax.lax.broadcasted_iota(jnp.int32, s_new.shape, 1)
-        s_new = jnp.where(colt <= rowt, s_new, NEG_INF)
-        m_fin = jnp.maximum(m, jnp.max(s_new, axis=1, keepdims=True))
-        a_fin = jnp.exp(m - m_fin)
-        p_new = jnp.exp(s_new - m_fin)
-        denom = denom * a_fin + jnp.sum(p_new, axis=1, keepdims=True)
-        out = acc * a_fin + jax.lax.dot_general(
-            p_new, vn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out_ref[0, 0] = (out / denom).astype(out_ref.dtype)
+    _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
                   r, interpret=False):
     """q (b, nkv, SQ*R, hd); k_new/v_new (b, nkv, SQ, hd); pools
-    (nkv, P, ps, hd); page_table (b, J) — sliced to the active pages."""
+    (nkv, P, psk, fold*hd) fold-stored; page_table (b, J) — sliced to the
+    active pages."""
     b, nkv, m, hd = q.shape
     sq = k_new.shape[2]
-    ps = k_pages.shape[2]
+    psk, minor = k_pages.shape[2], k_pages.shape[3]
     head = lambda i, j, pt, lens: (i, j, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
@@ -255,8 +262,8 @@ def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
             out_specs=pl.BlockSpec((1, 1, m, hd), head,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, ps, hd), k_pages.dtype),
-                pltpu.VMEM((2, ps, hd), v_pages.dtype),
+                pltpu.VMEM((2, psk, minor), k_pages.dtype),
+                pltpu.VMEM((2, psk, minor), v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -272,7 +279,8 @@ def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
                    lengths, page_table, r, interpret=False):
     b, nkv, m, hd = q.shape
     sq = k_new.shape[2]
-    ps = k_pages.shape[2]
+    psk, minor = k_pages.shape[2], k_pages.shape[3]
+    srows = ks_pages.shape[2]
     head = lambda i, j, pt, lens: (i, j, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
@@ -289,10 +297,10 @@ def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
             out_specs=pl.BlockSpec((1, 1, m, hd), head,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, ps, hd), jnp.int8),
-                pltpu.VMEM((2, ps, hd), jnp.int8),
-                pltpu.VMEM((2, ps), jnp.float32),
-                pltpu.VMEM((2, ps), jnp.float32),
+                pltpu.VMEM((2, psk, minor), jnp.int8),
+                pltpu.VMEM((2, psk, minor), jnp.int8),
+                pltpu.VMEM((2, srows, 128), jnp.float32),
+                pltpu.VMEM((2, srows, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -311,10 +319,11 @@ def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
     """Decode attention over paged pools + the new token, Pallas path.
 
     Same contract as engine.kvcache.paged_cached_attention: q (b, sq, nq,
-    hd), k_new/v_new (b, sq, nkv, hd), pools (n_kv, P, ps, hd) read-only,
-    ``lengths_old`` excludes the new tokens. sq == 1 is decode; small
-    sq > 1 (speculative verify / short continuation chunks) runs causal
-    within the chunk. Returns (b, sq, nq, hd).
+    hd), k_new/v_new (b, sq, nkv, hd), pools (n_kv, P, psk, fold*hd)
+    fold-stored read-only (engine/kvcache.py docstring), ``lengths_old``
+    excludes the new tokens. sq == 1 is decode; small sq > 1 (speculative
+    verify / short continuation chunks) runs causal within the chunk.
+    int8 pools carry (n_kv, P, 1, 128) scale rows. Returns (b, sq, nq, hd).
     """
     b, sq, nq, hd = q.shape
     nkv = k_new.shape[2]
@@ -327,6 +336,11 @@ def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
     kn = k_new.transpose(0, 2, 1, 3)  # (b, nkv, sq, hd)
     vn = v_new.transpose(0, 2, 1, 3)
     if ks_pages is not None:
+        if ks_pages.ndim == 3:  # legacy unfolded (n_kv, P, ps): pad rows
+            ps = ks_pages.shape[2]
+            pad = [(0, 0), (0, 0), (0, 128 - ps)]
+            ks_pages = jnp.pad(ks_pages, pad)[:, :, None, :]
+            vs_pages = jnp.pad(vs_pages, pad)[:, :, None, :]
         out = _paged_decode8(qg, kn, vn, k_pages, v_pages, ks_pages,
                              vs_pages, lengths_old, pt, r=r,
                              interpret=interpret)

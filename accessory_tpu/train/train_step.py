@@ -71,7 +71,7 @@ def make_train_step(
     module,
     args,
     tx,
-    remat: bool = True,
+    remat=True,  # True/"dots" | "full" (util.remat_policy)
     accum_steps: int = 1,
     ignore_index: int = 0,
     moe_aux: bool = False,

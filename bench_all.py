@@ -303,7 +303,8 @@ def _matmul_param_count(tree):
     return total
 
 
-def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3, n2=10):
+def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3,
+                     n2=10, remat=True):
     """Training-step throughput + MFU (the reference's headline finetune
     numbers are GPU-hours for exactly these two regimes: full finetune and
     quantized-base PEFT, docs/finetune/quantization.md:41-46).
@@ -333,7 +334,7 @@ def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3, n2=10):
     tx = make_optimizer(params, 1e-4, weight_decay=0.02, clip_norm=2.0,
                         trainable=trainable)
     state = TrainState.create(params, tx)
-    step_fn = jax.jit(make_train_step(llama, args, tx, remat=True),
+    step_fn = jax.jit(make_train_step(llama, args, tx, remat=remat),
                       donate_argnums=(0,))
 
     rng = np.random.RandomState(0)
@@ -376,7 +377,7 @@ def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3, n2=10):
 
 
 def bench_dit_train(dim=1024, n_layers=24, n_heads=16, batch=32,
-                    input_size=32, n1=3, n2=10):
+                    input_size=32, n1=3, n2=10, remat="full"):
     """Large-DiT training-step throughput (the reference sub-project's
     headline metric is training speed, Large-DiT-ImageNet/train.py).
     DiT-L/2-class latent-space step: fp32 AdamW + EMA + VLB loss + remat.
@@ -393,7 +394,7 @@ def bench_dit_train(dim=1024, n_layers=24, n_heads=16, batch=32,
     tx = make_optimizer(params, 1e-4, weight_decay=0.0, clip_norm=1.0)
     state = TrainState.create(params, tx)
     ema = jax.tree.map(jnp.copy, params)
-    step = jax.jit(make_dit_train_step(args_d, diffusion, tx),
+    step = jax.jit(make_dit_train_step(args_d, diffusion, tx, remat=remat),
                    donate_argnums=(0, 1))
 
     rng = np.random.RandomState(0)
@@ -576,7 +577,10 @@ if __name__ == "__main__":
                               vocab_size=32000, multiple_of=256,
                               lora_rank=16, bias_tuning=True,
                               norm_tuning=True),
-                         batch=8, seq_len=512, qpeft=True)
+                         # "full" remat: with dots-saveable the saved FFN
+                         # intermediates (L x b x s x 11008 bf16) alone blow
+                         # the 16GB chip (r2 matrix OOM: 17.32G/15.75G)
+                         batch=8, seq_len=512, qpeft=True, remat="full")
     if a.only in (None, "tiny"):
         bench_llama_decode("TinyLlama-1.1B",
                            dict(dim=2048, n_layers=22, n_heads=32,

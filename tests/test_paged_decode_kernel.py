@@ -50,7 +50,7 @@ def test_paged_kernel_matches_gather_oracle():
     kn = jax.random.normal(jax.random.PRNGKey(4), (b, 1, nkv, hd), jnp.float32)
     vn = jax.random.normal(jax.random.PRNGKey(5), (b, 1, nkv, hd), jnp.float32)
 
-    kd, vd = gather_pages(kp, vp, pt)
+    kd, vd = gather_pages(kp, vp, pt, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
                                  interpret=True)
@@ -68,7 +68,7 @@ def test_paged_kernel_active_pages_slice():
     kn = jax.random.normal(jax.random.PRNGKey(7), (b, 1, nkv, hd), jnp.float32)
     vn = jax.random.normal(jax.random.PRNGKey(8), (b, 1, nkv, hd), jnp.float32)
 
-    kd, vd = gather_pages(kp, vp, pt, active_pages=2)
+    kd, vd = gather_pages(kp, vp, pt, active_pages=2, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
                                  active_pages=2, interpret=True)
@@ -98,7 +98,7 @@ def test_paged_kernel_zero_length_slot():
     want1 = jnp.repeat(vn[1, 0], nq // nkv, axis=0)  # (nq, hd)
     np.testing.assert_allclose(np.asarray(got[1, 0]), np.asarray(want1),
                                rtol=2e-5, atol=2e-5)
-    kd, vd = gather_pages(kp, vp, pt)
+    kd, vd = gather_pages(kp, vp, pt, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
@@ -117,7 +117,7 @@ def test_paged_kernel_int8_pools():
     vn = jax.random.normal(jax.random.PRNGKey(14), (b, 1, nkv, hd),
                            jnp.float32).astype(jnp.bfloat16)
 
-    kd, vd = gather_pages(kp, vp, pt, ks_pages=ksp, vs_pages=vsp)
+    kd, vd = gather_pages(kp, vp, pt, ks_pages=ksp, vs_pages=vsp, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
                                  ks_pages=ksp, vs_pages=vsp, interpret=True)
@@ -135,7 +135,7 @@ def test_paged_kernel_mha_r1():
     q = jax.random.normal(jax.random.PRNGKey(15), (b, 1, nq, hd), jnp.float32)
     kn = jax.random.normal(jax.random.PRNGKey(16), (b, 1, nkv, hd), jnp.float32)
     vn = jax.random.normal(jax.random.PRNGKey(17), (b, 1, nkv, hd), jnp.float32)
-    kd, vd = gather_pages(kp, vp, pt)
+    kd, vd = gather_pages(kp, vp, pt, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
                                  interpret=True)
@@ -155,7 +155,7 @@ def test_paged_kernel_shared_prefix_pages():
     q = jax.random.normal(jax.random.PRNGKey(18), (b, 1, nq, hd), jnp.float32)
     kn = jax.random.normal(jax.random.PRNGKey(19), (b, 1, nkv, hd), jnp.float32)
     vn = jax.random.normal(jax.random.PRNGKey(20), (b, 1, nkv, hd), jnp.float32)
-    kd, vd = gather_pages(kp, vp, pt2)
+    kd, vd = gather_pages(kp, vp, pt2, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt2,
                                  interpret=True)
@@ -201,7 +201,7 @@ def test_paged_kernel_multi_query_chunk():
     q = jax.random.normal(jax.random.PRNGKey(21), (b, sq, nq, hd), jnp.float32)
     kn = jax.random.normal(jax.random.PRNGKey(22), (b, sq, nkv, hd), jnp.float32)
     vn = jax.random.normal(jax.random.PRNGKey(23), (b, sq, nkv, hd), jnp.float32)
-    kd, vd = gather_pages(kp, vp, pt)
+    kd, vd = gather_pages(kp, vp, pt, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
                                  interpret=True)
@@ -221,7 +221,7 @@ def test_paged_kernel_multi_query_int8():
                            jnp.float32).astype(jnp.bfloat16)
     vn = jax.random.normal(jax.random.PRNGKey(26), (b, sq, nkv, hd),
                            jnp.float32).astype(jnp.bfloat16)
-    kd, vd = gather_pages(kp, vp, pt, ks_pages=ksp, vs_pages=vsp)
+    kd, vd = gather_pages(kp, vp, pt, ks_pages=ksp, vs_pages=vsp, head_dim=hd)
     want = cached_attention(q, kn, vn, kd, vd, lengths)
     got = paged_decode_attention(q, kn, vn, kp, vp, lengths, pt,
                                  ks_pages=ksp, vs_pages=vsp, interpret=True)
