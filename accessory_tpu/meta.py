@@ -125,9 +125,11 @@ class MetaModel:
     def compute_logits(self, examples, images=None):
         return self.generator.compute_logits(examples, images)
 
-    def evaluate_examples(self, contexts, continuations, images=None):
+    def evaluate_examples(self, contexts, continuations, images=None,
+                          batch_size: int = 8):
         return self.generator.evaluate_examples(contexts, continuations,
-                                                images=images)
+                                                images=images,
+                                                batch_size=batch_size)
 
     # ------------------------------------------------------------------
 

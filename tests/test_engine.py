@@ -116,6 +116,47 @@ def test_evaluate_examples(model):
     assert res[0]["loglikelihood"] < 0
 
 
+def test_evaluate_examples_batched_matches_single(model):
+    """The bucketed/batched scorer must reproduce per-example scoring
+    exactly: mixed lengths land in different buckets, a ragged final chunk
+    exercises the zero-row padding, and results come back in input order."""
+    ctxs = ["the quick brown", "hello world this is", "Hi my",
+            "the quick", "hello"]
+    conts = [" fox jumps", " a test", " darling how", " brown fox", " world"]
+    batched = model.evaluate_examples(ctxs, conts, batch_size=2)
+    singles = [model.evaluate_examples([c], [x], batch_size=1)[0]
+               for c, x in zip(ctxs, conts)]
+    for b, s in zip(batched, singles):
+        np.testing.assert_allclose(b["loglikelihood"], s["loglikelihood"],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(b["ppl"], s["ppl"], rtol=1e-4)
+        assert b["max_equal"] == s["max_equal"]
+
+
+def test_evaluate_examples_one_compile_per_bucket(model):
+    """Mixed raw lengths that share a bucket must share ONE compile: the
+    scorer's jit cache is keyed on the padded (batch, bucket) shape."""
+    if hasattr(model.generator, "_score_jit"):
+        del model.generator._score_jit  # fresh jit: count only this call
+    ctxs = ["the quick brown fox", "hello world", "Hi my darling"] * 3
+    conts = [" jumps over", " this is a test", " how are you"] * 3
+    model.evaluate_examples(ctxs, conts, batch_size=4)
+    sizes = model.generator._score_jit._cache_size()
+    assert sizes == 1, f"expected 1 compiled shape, got {sizes}"
+
+
+def test_first_token_choices_batched_matches_single(model):
+    """Batched first-token MC scoring == one-at-a-time scoring."""
+    from accessory_tpu.eval.tasks import _first_token_choices
+
+    prompts = ["the quick brown fox", "hello world this",
+               "Hi my darling how are you", "the quick"]
+    batched = _first_token_choices(model, prompts, batch_size=2)
+    singles = _first_token_choices(model, prompts, batch_size=1)
+    assert batched == singles
+    assert all(p in "ABCD" for p in batched)
+
+
 def test_top_p_sampling_runs(model):
     outs = model.generate(["hello"], max_gen_len=5, temperature=0.8, top_p=0.9)
     assert isinstance(outs[0], str)
