@@ -226,149 +226,6 @@ def _decode_attn_bloop_w(q, k_new, v_new, cache_k, cache_v, lengths, pos,
     return out, wk, wv
 
 
-def _kernel_bloop_ws(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
-                     vc_ref, out_ref, outk_ref, outv_ref,
-                     acc_ref, m_ref, d_ref):
-    """Chunked-S (flash-decode) variant of _kernel_bloop_w.
-
-    Grid (NKV, B//b_blk, S//CS) with the context chunk innermost: the cache
-    streams in (HD, CS) chunks with the online softmax carried in VMEM
-    scratch, so the serial head of each program (the first cache-block DMA
-    that nothing overlaps) shrinks by S/CS and compute starts after one
-    chunk instead of the whole context. Same math as _kernel_bloop_w —
-    the rescaled partial sums telescope to the two-part softmax exactly.
-    The new token's column lands in the chunk that holds ``pos`` (one
-    masked (HD, 128)-tile store aliased into the pools, as before)."""
-    B = q_ref.shape[0]
-    CS = kc_ref.shape[3]
-    s_idx = pl.program_id(2)
-    ns = pl.num_programs(2)
-    base = pl.program_id(1) * B
-    hd = q_ref.shape[3]
-    scale = hd ** -0.5
-    pos = pos_ref[0]
-    col = jax.lax.rem(pos, 128)
-    # tile offset of ``pos`` inside its chunk (chunk index pos // CS)
-    ltile = pl.multiple_of((jax.lax.rem(pos, CS) // 128) * 128, 128)
-    prec = (jax.lax.Precision.HIGHEST if kc_ref.dtype == jnp.float32
-            else None)
-
-    @pl.when(s_idx == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        d_ref[...] = jnp.zeros_like(d_ref)
-
-    for b in range(B):
-        length = lens_ref[base + b]
-        q = q_ref[b, 0]                                # (R, HD)
-        kc = kc_ref[b, 0]                              # (HD, CS)
-        vc = vc_ref[b, 0]
-        s = jax.lax.dot_general(
-            q, kc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec) * scale                    # (R, CS)
-        gcol = s_idx * CS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(gcol < length, s, NEG_INF)
-
-        m_prev = m_ref[b, :, :1]                       # (R, 1)
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)                # (R, 1)
-        p = jnp.exp(s - m_cur)                         # (R, CS)
-        d_ref[b, :, :1] = d_ref[b, :, :1] * alpha \
-            + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)  # (R, HD)
-        acc_ref[b] = acc_ref[b] * alpha + pv
-        m_ref[b, :, :1] = m_cur
-
-        kn = kn_ref[b, 0, 0].astype(jnp.float32)       # (HD,)
-        vn = vn_ref[b, 0, 0].astype(jnp.float32)
-
-        @pl.when(s_idx == ns - 1)
-        def _emit():
-            qf = q.astype(jnp.float32)
-            s_new = jnp.sum(qf * kn[None, :], axis=1,
-                            keepdims=True) * scale     # (R, 1)
-            m_fin = jnp.maximum(m_ref[b, :, :1], s_new)
-            a_fin = jnp.exp(m_ref[b, :, :1] - m_fin)
-            p_new = jnp.exp(s_new - m_fin)
-            denom = d_ref[b, :, :1] * a_fin + p_new
-            out = acc_ref[b] * a_fin + p_new * vn[None, :]
-            out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
-
-        # the write tile lives in exactly one chunk; RMW it there
-        @pl.when(s_idx == pos // CS)
-        def _write():
-            wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
-            oldk = kc_ref[b, 0, :, pl.ds(ltile, 128)].astype(jnp.float32)
-            oldv = vc_ref[b, 0, :, pl.ds(ltile, 128)].astype(jnp.float32)
-            outk_ref[b, 0] = jnp.where(wmask, kn[:, None],
-                                       oldk).astype(outk_ref.dtype)
-            outv_ref[b, 0] = jnp.where(wmask, vn[:, None],
-                                       oldv).astype(outv_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("b_blk", "cs", "interpret"))
-def _decode_attn_bloop_ws(q, k_new, v_new, cache_k, cache_v, lengths, pos,
-                          b_blk, cs, interpret=False):
-    """Chunked-S fused decode attention + cache update (flash-decode).
-    Returns (out, new_k_pool, new_v_pool); the pools alias the inputs."""
-    b, nkv, r, hd = q.shape
-    S = cache_k.shape[3]
-    head = lambda j, i, s, lens, p: (i, j, 0, 0)
-    chunk = lambda j, i, s, lens, p: (i, j, 0, s)
-    tile = lambda j, i, s, lens, p: (i, j, 0, p[0] // 128)
-    pool_shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
-    out, wk, wv = pl.pallas_call(
-        _kernel_bloop_ws,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nkv, b // b_blk, S // cs),
-            in_specs=[
-                pl.BlockSpec((b_blk, 1, r, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, cs), chunk,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, cs), chunk,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((b_blk, 1, r, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, 128), tile,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, 128), tile,
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((b_blk, r, hd), jnp.float32),    # acc
-                pltpu.VMEM((b_blk, r, 128), jnp.float32),   # m (col 0)
-                pltpu.VMEM((b_blk, r, 128), jnp.float32),   # denom (col 0)
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
-                   pool_shape, pool_shape],
-        # flat inputs incl. scalar prefetch: lens(0) pos(1) q(2) kn(3)
-        # vn(4) kc(5) vc(6) → alias the pools to outputs 1/2
-        input_output_aliases={5: 1, 6: 2},
-        interpret=interpret,
-    )(lengths.astype(jnp.int32),
-      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
-      q, k_new, v_new, cache_k, cache_v)
-    return out, wk, wv
-
-
-# context chunk for the flash-decode kernel; S must divide evenly and
-# leave >= 2 chunks for the pipelining to buy anything
-_ATTN_CHUNK = 512
-
-
 def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
                             use_pallas: Optional[bool] = None):
     """Decode attention + in-place cache update in ONE kernel call.
@@ -388,15 +245,6 @@ def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
         pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
-        # ACCESSORY_ATTN_CHUNK=1: chunked-S flash-decode variant (smaller
-        # serial DMA head per program; perf ablation — BENCHMARKS.md)
-        if (os.environ.get("ACCESSORY_ATTN_CHUNK", "0") == "1"
-                and S % _ATTN_CHUNK == 0 and S // _ATTN_CHUNK >= 2):
-            b_blk = _pick_b_blk(b, hd, _ATTN_CHUNK, cache_k.dtype.itemsize)
-            out, wk, wv = _decode_attn_bloop_ws(
-                qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
-                cs=_ATTN_CHUNK, interpret=not use_pallas)
-            return out.reshape(b, 1, nq, hd), wk, wv
         b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize)
         out, wk, wv = _decode_attn_bloop_w(
             qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
@@ -915,158 +763,6 @@ def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
     return out, wk, wv, wks.reshape(b, nkv, S), wvs.reshape(b, nkv, S)
 
 
-def _kernel_bloop_ws8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
-                      vc_ref, ks_ref, vs_ref, out_ref, outk_ref, outv_ref,
-                      outks_ref, outvs_ref, acc_ref, m_ref, d_ref):
-    """Chunked-S (flash-decode) variant of _kernel_bloop_w8: int8 cache
-    chunks stream with an online softmax in VMEM scratch (see
-    _kernel_bloop_ws for the chunking contract); per-chunk scale rows fold
-    into the score / probability epilogues exactly as in the unchunked
-    int8 kernel, so the telescoped result is identical."""
-    B = q_ref.shape[0]
-    CS = kc_ref.shape[3]
-    s_idx = pl.program_id(2)
-    ns = pl.num_programs(2)
-    base = pl.program_id(1) * B
-    hd = q_ref.shape[3]
-    scale = hd ** -0.5
-    pos = pos_ref[0]
-    col = jax.lax.rem(pos, 128)
-    ltile = pl.multiple_of((jax.lax.rem(pos, CS) // 128) * 128, 128)
-
-    @pl.when(s_idx == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        d_ref[...] = jnp.zeros_like(d_ref)
-
-    for b in range(B):
-        length = lens_ref[base + b]
-        q = q_ref[b, 0]                                  # (R, HD)
-        kc = kc_ref[b, 0].astype(jnp.bfloat16)           # (HD, CS)
-        vc = vc_ref[b, 0].astype(jnp.bfloat16)
-        ksc = ks_ref[b, 0]                               # (1, CS) f32
-        vsc = vs_ref[b, 0]
-        s = jax.lax.dot_general(
-            q, kc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * (ksc * scale)  # (R, CS)
-        gcol = s_idx * CS + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(gcol < length, s, NEG_INF)
-
-        m_prev = m_ref[b, :, :1]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)
-        d_ref[b, :, :1] = d_ref[b, :, :1] * alpha \
-            + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            (p * vsc).astype(jnp.bfloat16), vc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (R, HD)
-        acc_ref[b] = acc_ref[b] * alpha + pv
-        m_ref[b, :, :1] = m_cur
-
-        kn = kn_ref[b, 0, 0].astype(jnp.float32)         # (HD,) exact
-        vn = vn_ref[b, 0, 0].astype(jnp.float32)
-
-        @pl.when(s_idx == ns - 1)
-        def _emit():
-            qf = q.astype(jnp.float32)
-            s_new = jnp.sum(qf * kn[None, :], axis=1,
-                            keepdims=True) * scale
-            m_fin = jnp.maximum(m_ref[b, :, :1], s_new)
-            a_fin = jnp.exp(m_ref[b, :, :1] - m_fin)
-            p_new = jnp.exp(s_new - m_fin)
-            denom = d_ref[b, :, :1] * a_fin + p_new
-            out = acc_ref[b] * a_fin + p_new * vn[None, :]
-            out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
-
-        @pl.when(s_idx == pos // CS)
-        def _write():
-            ks_new = jnp.maximum(jnp.max(jnp.abs(kn)), KV_SCALE_EPS) / 127.0
-            vs_new = jnp.maximum(jnp.max(jnp.abs(vn)), KV_SCALE_EPS) / 127.0
-            kq = jnp.clip(jnp.round(kn / ks_new), -127, 127)
-            vq = jnp.clip(jnp.round(vn / vs_new), -127, 127)
-            wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
-            oldk = kc_ref[b, 0, :, pl.ds(ltile, 128)].astype(jnp.float32)
-            oldv = vc_ref[b, 0, :, pl.ds(ltile, 128)].astype(jnp.float32)
-            outk_ref[b, 0] = jnp.where(wmask, kq[:, None],
-                                       oldk).astype(jnp.int8)
-            outv_ref[b, 0] = jnp.where(wmask, vq[:, None],
-                                       oldv).astype(jnp.int8)
-            smask = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == col
-            outks_ref[b, 0] = jnp.where(smask, ks_new,
-                                        ks_ref[b, 0, :, pl.ds(ltile, 128)])
-            outvs_ref[b, 0] = jnp.where(smask, vs_new,
-                                        vs_ref[b, 0, :, pl.ds(ltile, 128)])
-
-
-@functools.partial(jax.jit, static_argnames=("b_blk", "cs", "interpret"))
-def _decode_attn_bloop_ws8(q, k_new, v_new, cache_k, cache_v, cache_ks,
-                           cache_vs, lengths, pos, b_blk, cs,
-                           interpret=False):
-    """Chunked-S fused int8 decode attention + quantized cache update."""
-    b, nkv, r, hd = q.shape
-    S = cache_k.shape[3]
-    head = lambda j, i, s, lens, p: (i, j, 0, 0)
-    chunk = lambda j, i, s, lens, p: (i, j, 0, s)
-    tile = lambda j, i, s, lens, p: (i, j, 0, p[0] // 128)
-    schunk = lambda j, i, s, lens, p: (i, j, 0, s)
-    stile = lambda j, i, s, lens, p: (i, j, 0, p[0] // 128)
-    pool = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
-    # scales viewed 4D (B, NKV, 1, S) — see _decode_attn_bloop_w8
-    spool = jax.ShapeDtypeStruct((b, nkv, 1, S), cache_ks.dtype)
-    out, wk, wv, wks, wvs = pl.pallas_call(
-        _kernel_bloop_ws8,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nkv, b // b_blk, S // cs),
-            in_specs=[
-                pl.BlockSpec((b_blk, 1, r, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, cs), chunk,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, cs), chunk,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, cs), schunk,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, cs), schunk,
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((b_blk, 1, r, hd), head,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, 128), tile,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, hd, 128), tile,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, 128), stile,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((b_blk, 1, 1, 128), stile,
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((b_blk, r, hd), jnp.float32),    # acc
-                pltpu.VMEM((b_blk, r, 128), jnp.float32),   # m (col 0)
-                pltpu.VMEM((b_blk, r, 128), jnp.float32),   # denom (col 0)
-            ],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
-                   pool, pool, spool, spool],
-        # flat inputs incl. scalar prefetch: lens(0) pos(1) q(2) kn(3)
-        # vn(4) kc(5) vc(6) ks(7) vs(8) → alias the four pools
-        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
-        interpret=interpret,
-    )(lengths.astype(jnp.int32),
-      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
-      q, k_new, v_new, cache_k, cache_v,
-      cache_ks.reshape(b, nkv, 1, S), cache_vs.reshape(b, nkv, 1, S))
-    return out, wk, wv, wks.reshape(b, nkv, S), wvs.reshape(b, nkv, S)
-
-
 def _kernel_bloop8(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
                    ks_ref, vs_ref, out_ref):
     """Read-only int8 decode attention (non-fused ablation / paged use)."""
@@ -1187,14 +883,6 @@ def decode_attention_update8(q, k_new, v_new, cache_k, cache_v, cache_ks,
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
         pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
-        if (os.environ.get("ACCESSORY_ATTN_CHUNK", "0") == "1"
-                and S % _ATTN_CHUNK == 0 and S // _ATTN_CHUNK >= 2):
-            b_blk = _pick_b_blk(b, hd, _ATTN_CHUNK,
-                                cache_k.dtype.itemsize + 1)
-            out, wk, wv, wks, wvs = _decode_attn_bloop_ws8(
-                qg, kn, vn, cache_k, cache_v, cache_ks, cache_vs, pos_arr,
-                pos, b_blk=b_blk, cs=_ATTN_CHUNK, interpret=not use_pallas)
-            return out.reshape(b, 1, nq, hd), wk, wv, wks, wvs
         b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize + 1)
         out, wk, wv, wks, wvs = _decode_attn_bloop_w8(
             qg, kn, vn, cache_k, cache_v, cache_ks, cache_vs, pos_arr, pos,

@@ -29,13 +29,11 @@ ACCESSORY_ROPE_FUSE=1 run bench_ropefuse 1800 python -u bench.py
 # 4. int8 KV decode
 BENCH_KV_DTYPE=int8 run bench_kv8 1800 python -u bench.py
 
-# 5. chunked-S attention at 4k ctx (bf16 KV)
+# 5. 4k ctx (bf16 KV)
 run bench_longctx 2400 python -u bench_all.py --only longctx
-ACCESSORY_ATTN_CHUNK=1 run bench_longctx_chunk 1800 python -u bench_all.py --only longctx
 
-# 6. int8 KV at 4k ctx (+ chunked)
+# 6. int8 KV at 4k ctx (the KV-dominated regime where int8 pays +45%)
 run bench_kv8_longctx 1800 python -u bench_all.py --only kv8-longctx
-ACCESSORY_ATTN_CHUNK=1 run bench_kv8_longctx_chunk 1800 python -u bench_all.py --only kv8-longctx
 
 # 7. prefill TTFT with the dense-m dequant path A/B
 run bench_ttft 1800 python -u bench_all.py --only ttft

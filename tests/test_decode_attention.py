@@ -139,41 +139,3 @@ def test_fused_attention_update_tile_positions(pos):
     want_k, want_v = da.write_kv_layer(ck, cv, kn, vn, pos)
     np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
-
-
-@pytest.mark.parametrize("pos", [100, 511, 512, 1023])
-def test_chunked_flash_decode_matches_unchunked(pos, monkeypatch):
-    """The chunked-S flash-decode kernel (online softmax across context
-    chunks + fused column write) == the unchunked fused kernel."""
-    q, kn, vn, ck, cv, _ = _mk(S=1024, seed=13)
-    b = q.shape[0]
-    lens = jnp.full((b,), pos, jnp.int32)
-
-    want_out, want_k, want_v = da.decode_attention_update(
-        q, kn, vn, ck, cv, pos, use_pallas=False)
-
-    monkeypatch.setenv("ACCESSORY_ATTN_CHUNK", "1")
-    got_out, got_k, got_v = da.decode_attention_update(
-        q, kn, vn, ck, cv, pos, use_pallas=False)
-    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
-                               rtol=2e-5, atol=2e-5)
-    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
-    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
-
-
-def test_chunked_flash_decode_ragged_lengths(monkeypatch):
-    """Chunked kernel handles per-slot lengths incl. 0 (all-masked chunks
-    must not poison the online softmax) — vs the XLA oracle."""
-    q, kn, vn, ck, cv, _ = _mk(S=1024, seed=17)
-    b = q.shape[0]
-    lens = jnp.asarray([0, 3, 600, 1023], jnp.int32)[:b]
-    pos = 1023
-
-    ref = da.cached_attention_t(q, kn, vn, ck, cv, lens, use_pallas=False)
-    qg = q.reshape(b, ck.shape[1], -1, q.shape[3])
-    out, _, _ = da._decode_attn_bloop_ws(
-        qg, kn.reshape(b, ck.shape[1], 1, -1),
-        vn.reshape(b, ck.shape[1], 1, -1), ck, cv, lens, pos,
-        b_blk=2, cs=256, interpret=True)
-    np.testing.assert_allclose(np.asarray(out.reshape(ref.shape)),
-                               np.asarray(ref), rtol=2e-5, atol=2e-5)

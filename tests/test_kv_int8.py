@@ -228,35 +228,3 @@ def test_generator_kv_int8():
                 break
             prefix += 1
         assert prefix >= 3, (a, b)
-
-
-@pytest.mark.parametrize("pos", [100, 512, 1023])
-def test_chunked_int8_flash_decode_matches_unchunked(pos, monkeypatch):
-    """Chunked-S int8 kernel (online softmax + quantized column write) ==
-    the unchunked int8 fused kernel."""
-    rng = np.random.RandomState(21)
-    b, nkv, nq, hd, S = 2, 2, 4, 64, 1024
-    q = jnp.asarray(rng.standard_normal((b, 1, nq, hd)), jnp.float32)
-    kn = jnp.asarray(rng.standard_normal((b, 1, nkv, hd)), jnp.float32)
-    vn = jnp.asarray(rng.standard_normal((b, 1, nkv, hd)), jnp.float32)
-    kq, ks = da.quantize_kv_chunk(
-        jnp.asarray(rng.standard_normal((b, S, nkv, hd)), jnp.float32))
-    vq, vs = da.quantize_kv_chunk(
-        jnp.asarray(rng.standard_normal((b, S, nkv, hd)), jnp.float32))
-    ck = kq.transpose(0, 2, 3, 1)
-    cv = vq.transpose(0, 2, 3, 1)
-    cks = ks.transpose(0, 2, 1)
-    cvs = vs.transpose(0, 2, 1)
-
-    want = da.decode_attention_update8(q, kn, vn, ck, cv, cks, cvs, pos,
-                                       use_pallas=False)
-    monkeypatch.setenv("ACCESSORY_ATTN_CHUNK", "1")
-    got = da.decode_attention_update8(q, kn, vn, ck, cv, cks, cvs, pos,
-                                      use_pallas=False)
-    # p is cast to bf16 before the value dot under a PER-CHUNK running max
-    # (vs the unchunked global max) — both are exact-softmax rescalings but
-    # the bf16 rounding of p differs, so allow bf16-scale deltas
-    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
-                               rtol=5e-4, atol=5e-4)
-    for g, w in zip(got[1:], want[1:]):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
