@@ -63,13 +63,15 @@ def main():
             setattr(llama, k, v)
         if name == "nohead":
             # the head is the only module_linear_nr on a (..., vocab) output
-            def nr(x, mod, *, norm=None, eps=1e-5, residual=None):
+            def nr(x, mod, *, norm=None, eps=1e-5, residual=None,
+                   rope=None, **kw):
                 w = mod["weight"]
                 n = w.out_dim if hasattr(w, "out_dim") else w.shape[-1]
                 if n == args.vocab_size:
                     return jnp.zeros(x.shape[:-1] + (n,), x.dtype)
                 return real["module_linear_nr"](x, mod, norm=norm, eps=eps,
-                                                residual=residual)
+                                                residual=residual, rope=rope,
+                                                **kw)
             llama.module_linear_nr = nr
         elif name == "noattn":
             llama.cached_attention_t = (
@@ -78,7 +80,8 @@ def main():
             llama.write_kv_t = lambda ck, cv, nk, nv, pos, **kw: (ck, cv)
             llama.write_kv_layer = lambda ck, cv, nk, nv, pos, **kw: (ck, cv)
         elif name == "nomatmul":
-            def nr(x, mod, *, norm=None, eps=1e-5, residual=None):
+            def nr(x, mod, *, norm=None, eps=1e-5, residual=None,
+                   rope=None, **kw):
                 y = _zeros_like_out(x, mod)
                 return y if residual is None else residual + y
             llama.module_linear = _zeros_like_out
@@ -87,8 +90,10 @@ def main():
             # in-kernel norms: strip the norm argument instead
             llama.rms_norm = lambda x, w, eps: x
             llama.module_linear_nr = (
-                lambda x, mod, *, norm=None, eps=1e-5, residual=None:
-                real["module_linear_nr"](x, mod, residual=residual))
+                lambda x, mod, *, norm=None, eps=1e-5, residual=None,
+                rope=None, **kw:
+                real["module_linear_nr"](x, mod, residual=residual,
+                                         rope=rope, **kw))
         elif name == "norope":
             llama.apply_rope = lambda x, cos, sin, style: x
 
