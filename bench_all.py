@@ -257,8 +257,15 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
     params = llama.unstack_layers(fuse_for_decode(params))
     tok = jnp.ones((batch, 1), jnp.int32)
 
+    # L=4..16: one 70B layer is ~0.48 GB W4, so 16 layers (~7.7 GB) is the
+    # largest count that leaves room for the duplicate tree during fusing.
+    # The fit quality (R^2, residuals) and the 2-point-vs-4-point t(80)
+    # band bound the extrapolation error (VERDICT r2 weak #6).
+    Ls = (4, 8, 12, 16)
     times = {}
-    for L in (4, 8):
+    for L in Ls:
+        if L > args8.n_layers:
+            continue
         argsL = dataclasses.replace(args8, n_layers=L)
         pL = dict(params, layers=params["layers"][:L])
         cache = llama.init_kv_cache(argsL, batch, max_len=cache_len,
@@ -267,8 +274,17 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
             p, a, t, cache=c, cur_pos=pos), donate_argnums=(2,))
         times[L] = timed_steps(step, pL, tok, cache, n1=n1, n2=n2)
 
-    dt_layer = (times[8] - times[4]) / 4
-    t80 = times[4] + 76 * dt_layer
+    ls = np.array(sorted(times), np.float64)
+    ts = np.array([times[int(l)] for l in ls])
+    dt_layer, t0 = np.polyfit(ls, ts, 1)
+    pred = t0 + dt_layer * ls
+    ss_res = float(np.sum((ts - pred) ** 2))
+    ss_tot = float(np.sum((ts - ts.mean()) ** 2))
+    r2 = 1.0 - ss_res / max(ss_tot, 1e-30)
+    t80 = t0 + 80 * dt_layer
+    # 2-point fit (the round-2 method) for the extrapolation band
+    dt2 = (times[8] - times[4]) / 4
+    t80_2pt = times[4] + 76 * dt2
     layer_bytes = weight_bytes(params["layers"][0])
     other_bytes = weight_bytes(
         {k: v for k, v in params.items() if k != "layers"})
@@ -280,8 +296,15 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
         "value": round(batch / t80, 1), "unit": "tok/s",
         "vs_baseline": round(batch / t80 / roof, 4),
         "ms_per_layer": round(dt_layer * 1e3, 3),
-        "measured_L4_ms": round(times[4] * 1e3, 2),
-        "measured_L8_ms": round(times[8] * 1e3, 2)}), flush=True)
+        "fit_r2": round(r2, 6),
+        "fit_points_ms": {int(l): round(times[int(l)] * 1e3, 2)
+                          for l in ls},
+        "fit_residuals_us": [round((t - p) * 1e6, 1)
+                             for t, p in zip(ts, pred)],
+        "t80_ms": round(t80 * 1e3, 2),
+        "t80_2pt_ms": round(t80_2pt * 1e3, 2),
+        "extrapolation_band_pct": round(
+            abs(t80 - t80_2pt) / t80 * 100, 2)}), flush=True)
 
 
 def _matmul_param_count(tree):
@@ -486,8 +509,13 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
     # server does this once at startup; remote compiles are tens of seconds)
     n = 1
     while n <= slots:
+        # full gen_len on the last (all-slots) round: decode runs with
+        # pow2-bucketed ACTIVE page counts that grow with generated length
+        # — 2-token warmups never reach the deeper buckets, so a fresh
+        # compile landed mid-Poisson-run (r3 sweep: 34 s p50 at rate 8)
+        gl = gen_len if n == slots else 2
         for i in range(n):
-            cb.add_request(f"warmup{n}-{i}", max_gen_len=2)
+            cb.add_request(f"warmup{n}-{i}", max_gen_len=gl)
         while cb.pending or any(r is not None for r in cb.active.values()):
             cb.step()
         n *= 2

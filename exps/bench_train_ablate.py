@@ -72,14 +72,22 @@ def main():
         loss, n = cross_entropy_loss(logits, batch["labels"], 0)
         return loss
 
+    # variants selected by argv so each runs in a fresh process — the
+    # compiled grad executables + their output buffers pushed the
+    # subsequent full-step jit over 16GB when run back-to-back
+    which = sys.argv[1:] or ["fwd", "fwdbwd-noremat", "fwdbwd",
+                             "fwdbwd-full", "full"]
     results = {}
 
-    fwd = jax.jit(lambda p: loss_fn(p, False))
-    results["fwd"] = timed(lambda: fwd(state.params),
-                           lambda x: np.asarray(x))
+    if "fwd" in which:
+        fwd = jax.jit(lambda p: loss_fn(p, False))
+        results["fwd"] = timed(lambda: fwd(state.params),
+                               lambda x: np.asarray(x))
 
     for name, remat in [("fwdbwd-noremat", False), ("fwdbwd", "dots"),
                         ("fwdbwd-full", "full")]:
+        if name not in which:
+            continue
         g = jax.jit(jax.grad(lambda p: loss_fn(p, remat)))
         try:
             results[name] = timed(
@@ -87,16 +95,18 @@ def main():
                 lambda t: np.asarray(jax.tree.leaves(t)[0]).ravel()[0])
         except Exception as e:  # noqa: BLE001 — OOM at this size is data
             print(f"{name}: {type(e).__name__} {str(e)[:120]}", flush=True)
+        del g
 
-    step_fn = jax.jit(make_train_step(llama, args, tx, remat=True),
-                      donate_argnums=(0,))
+    if "full" in which:
+        step_fn = jax.jit(make_train_step(llama, args, tx, remat=True),
+                          donate_argnums=(0,))
 
-    def full():
-        nonlocal state
-        state, metrics = step_fn(state, batch)
-        return metrics["loss"]
+        def full():
+            nonlocal state
+            state, metrics = step_fn(state, batch)
+            return metrics["loss"]
 
-    results["full"] = timed(full, lambda x: np.asarray(x))
+        results["full"] = timed(full, lambda x: np.asarray(x))
 
     # model-flops floor (2N fwd, +4N bwd, matmul params only)
     P = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params)
@@ -108,13 +118,15 @@ def main():
         floor = floor_fwd if name == "fwd" else floor_fb
         print(f"{name:15s} {dt*1e3:8.1f} ms  (floor {floor*1e3:6.1f} ms, "
               f"{floor/dt*100:5.1f}% of peak)", flush=True)
-    if "fwdbwd" in results:
-        print(f"{'opt+clip':15s} {(results['full']-results['fwdbwd'])*1e3:8.1f} ms",
+    if "fwdbwd" in results and "full" in results:
+        print(f"{'opt+clip':15s} "
+              f"{(results['full']-results['fwdbwd'])*1e3:8.1f} ms",
               flush=True)
-        if "fwdbwd-noremat" in results:
-            print(f"{'remat cost':15s} "
-                  f"{(results['fwdbwd']-results['fwdbwd-noremat'])*1e3:8.1f} ms",
-                  flush=True)
+    if "fwdbwd" in results and "fwdbwd-noremat" in results:
+        print(f"{'remat cost':15s} "
+              f"{(results['fwdbwd']-results['fwdbwd-noremat'])*1e3:8.1f} ms",
+              flush=True)
+    if "fwdbwd" in results and "fwd" in results:
         print(f"{'bwd':15s} {(results['fwdbwd']-results['fwd'])*1e3:8.1f} ms",
               flush=True)
 
