@@ -38,21 +38,43 @@ def flash_available(q_len: int, kv_len: int, causal: bool, head_dim: int) -> boo
             and head_dim in (64, 128, 256))
 
 
+_SPLASH_CACHE = {}
+
+
+def _splash_kernel(nq: int, s: int, interpret: bool):
+    """Cached splash-attention kernel for (q_heads, padded_seq). Splash
+    (the newer bundled TPU kernel) beats the legacy flash kernel ~2x at
+    s=2048/hd=128 (chip A/B, BENCHMARKS.md r3 train section) and takes
+    GQA natively — no KV head repeat, so k/v HBM traffic stays at the
+    true KV head count. Block 256/512 measured best of the swept configs."""
+    key = (nq, s, interpret)
+    if key not in _SPLASH_CACHE:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk, splash_attention_mask as sm)
+
+        bq = min(256, s)
+        bkv = min(512, s)
+        mask = sm.MultiHeadMask([sm.CausalMask((s, s)) for _ in range(nq)])
+        bs = sk.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+                           block_q_dkv=bq, block_kv_dkv=bkv,
+                           block_kv_dkv_compute=bkv,
+                           block_q_dq=bq, block_kv_dq=bkv)
+        _SPLASH_CACHE[key] = jax.vmap(sk.make_splash_mha(
+            mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs,
+            interpret=interpret))
+    return _SPLASH_CACHE[key]
+
+
 def flash_attention_tpu(
     q: jnp.ndarray,  # (b, sq, nq, hd)
     k: jnp.ndarray,  # (b, sq, nkv, hd)
     v: jnp.ndarray,
     scale: Optional[float] = None,
     causal: bool = True,
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-
     b, sq, nq, hd = q.shape
     nkv = k.shape[2]
-    n_rep = nq // nkv
-    if n_rep > 1:
-        k = jnp.repeat(k, n_rep, axis=2)
-        v = jnp.repeat(v, n_rep, axis=2)
     # pad-and-mask: causal masking makes end-padding exact (see
     # flash_available); kernel block sizes need a 128-divisible sequence
     pad = (-sq) % 128
@@ -63,8 +85,19 @@ def flash_attention_tpu(
     qt = q.transpose(0, 2, 1, 3)  # (b, h, s, d)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = flash_attention(
-        qt, kt, vt, causal=causal,
-        sm_scale=scale if scale is not None else hd ** -0.5)
+    sm_scale = scale if scale is not None else hd ** -0.5
+
+    if os.environ.get("ACCESSORY_TPU_SPLASH", "1") == "1":
+        kernel = _splash_kernel(nq, qt.shape[2], interpret)
+        out = kernel((qt * sm_scale).astype(qt.dtype), kt, vt)
+    else:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+
+        n_rep = nq // nkv
+        if n_rep > 1:
+            kt = jnp.repeat(kt, n_rep, axis=1)
+            vt = jnp.repeat(vt, n_rep, axis=1)
+        out = flash_attention(qt, kt, vt, causal=causal, sm_scale=sm_scale)
     out = out.transpose(0, 2, 1, 3).astype(q.dtype)
     return out[:, :sq] if pad else out
