@@ -206,10 +206,27 @@ def write_tokens_all_layers(
     With int8 pools (scale pools given) tokens are quantized per-vector
     first and returns (k, v, ks, vs).
 
+    Decode / small chunks (s <= 16) dispatch to the Pallas RMW kernel
+    (ops/paged_write.py): the XLA scatter below copies the FULL pools
+    every call (13.5 ms/step measured at TinyLlama-4k-pool scale), which
+    per-token writes cannot amortize. Large prefill chunks keep the
+    scatter. ACCESSORY_PAGED_WRITE=0 forces the XLA path.
+
     Fold-aware: pools store (psk, k*hd) pages (module docstring); token t
     of a page goes to row t % psk, lane group t // psk via a free 6D view
     of the pool, scales to (t//128, t%128) of the padded scale rows."""
+    import os
+
     L, b, s, n_kv, hd = k_new.shape
+    mode = os.environ.get("ACCESSORY_PAGED_WRITE", "1")
+    if s <= 16 and hd % 8 == 0 and (
+            mode == "interpret"
+            or (mode == "1" and jax.default_backend() == "tpu")):
+        from accessory_tpu.ops.paged_write import paged_write_tokens
+
+        return paged_write_tokens(k_pages, v_pages, k_new, v_new,
+                                  page_indices, start_pos, ks_pages,
+                                  vs_pages, interpret=mode == "interpret")
     fold = k_pages.shape[4] // hd
     psk = k_pages.shape[3]
     ps = psk * fold
@@ -337,6 +354,7 @@ def paged_cached_attention(
     active_pages=None,
     ks_pages=None,
     vs_pages=None,
+    layer=None,
 ) -> jnp.ndarray:
     """Decode attention against READ-ONLY page pools + the new token, via
     the same two-part softmax as ops.attention.cached_attention — so models
@@ -346,7 +364,12 @@ def paged_cached_attention(
     (ops/paged_decode.py): pages stream HBM→VMEM once instead of the
     gather path's dense materialization (3x context traffic). Gate:
     ACCESSORY_PAGED_KERNEL=0 forces the XLA gather path; =interpret runs
-    the kernel in interpret mode on any backend (tests / verify)."""
+    the kernel in interpret mode on any backend (tests / verify).
+
+    ``layer``: STATIC layer index — pools then carry their leading L dim
+    into the kernel (an XLA slice of the stacked pool feeding the Pallas
+    call materializes a full-layer copy per layer per step; the gather
+    path slices below, where XLA fuses it into the gather for free)."""
     from accessory_tpu.ops.attention import cached_attention
 
     mode = os.environ.get("ACCESSORY_PAGED_KERNEL", "1")
@@ -359,7 +382,7 @@ def paged_cached_attention(
     # for int8, single-row scale pages.
     aligned = (k_pages.shape[-1] % 128 == 0
                and (ks_pages is None
-                    or (ks_pages.ndim == 4 and ks_pages.shape[-2] == 1)))
+                    or (ks_pages.ndim >= 4 and ks_pages.shape[-2] == 1)))
     use_kernel = (
         q.shape[1] <= 16
         and hd % 8 == 0
@@ -372,8 +395,12 @@ def paged_cached_attention(
 
         return paged_decode_attention(
             q, k_new, v_new, k_pages, v_pages, lengths_old, page_indices,
-            active_pages, ks_pages, vs_pages,
+            active_pages, ks_pages, vs_pages, layer=layer,
             interpret=mode == "interpret")
+    if layer is not None:
+        k_pages, v_pages = k_pages[layer], v_pages[layer]
+        if ks_pages is not None:
+            ks_pages, vs_pages = ks_pages[layer], vs_pages[layer]
     k, v = gather_pages(k_pages, v_pages, page_indices, active_pages,
                         ks_pages, vs_pages, head_dim=hd)
     return cached_attention(q, k_new, v_new, k, v, lengths_old)

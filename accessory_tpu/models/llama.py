@@ -604,7 +604,7 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
 
     # pools stay READ-ONLY inside the scan (carrying them through scan
     # outputs copies the whole pool every layer — see cached_attention)
-    def paged_block(h, layer, kp, vp, kps=None, vps=None):
+    def paged_block(h, layer, kp, vp, kps=None, vps=None, li=None):
         att = layer["attention"]
         if "wqkv" in att:
             qkv = module_linear_nr(h, att["wqkv"],
@@ -624,7 +624,7 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
         if decode or continuation:
             out = paged_cached_attention(
                 q, k, v, kp, vp, old_lengths, page_indices, active_pages,
-                kps, vps)
+                kps, vps, layer=li)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
@@ -648,14 +648,17 @@ def forward_paged(params: Params, args: LLaMAArgs, tokens: jnp.ndarray, pcache,
     int8_kv = pcache.ks_pages is not None
     if isinstance(params["layers"], (list, tuple)):
         # unrolled paged decode (see forward: scan-sliced weights can't
-        # fuse into Pallas calls). Page-pool slices stay in the XLA gather
-        # path, where static slices fuse for free.
+        # fuse into Pallas calls). Pools pass WHOLE with the static layer
+        # index: an XLA slice feeding the Pallas kernel materializes a
+        # full-layer pool copy per layer per step (chip trace r3: 233
+        # copies, 44 x 67 MB of them pool slices). The gather fallback
+        # slices inside paged_cached_attention, where XLA fuses it.
         nk, nv = [], []
         for i, layer in enumerate(params["layers"]):
             h, k, v = paged_block(
-                h, layer, pcache.k_pages[i], pcache.v_pages[i],
-                pcache.ks_pages[i] if int8_kv else None,
-                pcache.vs_pages[i] if int8_kv else None)
+                h, layer, pcache.k_pages, pcache.v_pages,
+                pcache.ks_pages if int8_kv else None,
+                pcache.vs_pages if int8_kv else None, li=i)
             nk.append(k)
             nv.append(v)
         new_k, new_v = jnp.stack(nk), jnp.stack(nv)

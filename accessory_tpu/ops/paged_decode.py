@@ -49,6 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# page-block DMA ring depth: page blocks are small (8-32 KB), so the loop
+# is DMA-latency-bound — deeper rings hide it (chip A/B r3). VMEM cost is
+# NBUF * ps * hd * itemsize per pool, trivial at these sizes.
+NBUF = 8
+
 
 def _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r):
     """Two-part softmax epilogue over the chunk's NEW tokens (not yet in
@@ -83,7 +88,7 @@ def _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r):
 
 
 def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
-                  out_ref, k_buf, v_buf, k_sem, v_sem, *, r):
+                  out_ref, k_buf, v_buf, k_sem, v_sem, *, r, li=-1):
     """Grid (B, NKV). pt/lens in SMEM; q (1,1,SQ*R,HD) — SQ new-chunk
     queries per kv head, R = nq//nkv rows each (row t*R+g is query token t,
     group g); kn/vn (1,1,SQ,HD) the chunk's NEW k/v (not yet in pages);
@@ -109,26 +114,32 @@ def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
     length = lens_ref[bi]
 
     def _copy(j, slot):
+        # li >= 0: pools carry their leading layer dim (the serving loop is
+        # Python-unrolled, so the index is STATIC) — slicing the stacked
+        # pool in XLA before the call materializes a full-layer copy per
+        # layer per step (chip trace: 233 copies/step, r3)
         page = pt_ref[bi, j]
-        return (pltpu.make_async_copy(kp_ref.at[h, page], k_buf.at[slot],
-                                      k_sem.at[slot]),
-                pltpu.make_async_copy(vp_ref.at[h, page], v_buf.at[slot],
-                                      v_sem.at[slot]))
+        kp = kp_ref.at[li, h, page] if li >= 0 else kp_ref.at[h, page]
+        vp = vp_ref.at[li, h, page] if li >= 0 else vp_ref.at[h, page]
+        return (pltpu.make_async_copy(kp, k_buf.at[slot], k_sem.at[slot]),
+                pltpu.make_async_copy(vp, v_buf.at[slot], v_sem.at[slot]))
 
-    ck, cv = _copy(0, 0)
-    ck.start()
-    cv.start()
+    # deep ring: page blocks are small (ps*hd*itemsize, e.g. 8 KB at
+    # ps=64/hd=64), so a 2-deep ring leaves the program DMA-latency-bound
+    # (chip r3: the 4k-ctx page loop ran ~7x slower than the flat-cache
+    # kernel). NBUF in-flight copies hide most of the per-DMA latency.
+    nbuf = k_buf.shape[0]
+    for j in range(min(nbuf, J)):
+        ck, cv = _copy(j, j % nbuf)
+        ck.start()
+        cv.start()
 
     m = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)   # (R, 1)
     denom = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc = jnp.zeros((q.shape[0], hd), jnp.float32)        # (R, HD)
 
     for j in range(J):
-        slot = j % 2
-        if j + 1 < J:
-            nk, nv = _copy(j + 1, (j + 1) % 2)
-            nk.start()
-            nv.start()
+        slot = j % nbuf
         wk, wv = _copy(j, slot)
         wk.wait()
         wv.wait()
@@ -157,12 +168,19 @@ def _paged_kernel(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
             acc = acc * alpha + pv
             m = m_cur
 
+        if True:  # refill this slot with the next not-yet-queued page
+            nxt = j + nbuf
+            if nxt < J:
+                nk, nv = _copy(nxt, slot)
+                nk.start()
+                nv.start()
+
     _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r)
 
 
 def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
                    ksp_ref, vsp_ref, out_ref, k_buf, v_buf, ks_buf, vs_buf,
-                   k_sem, v_sem, ks_sem, vs_sem, *, r):
+                   k_sem, v_sem, ks_sem, vs_sem, *, r, li=-1):
     """int8-pool variant: kp/vp int8 fold-stored + ksp/vsp (NKV, P, 1, 128)
     f32 per-token scale rows (lane t = scale of page token t), all in ANY.
     Scale slices fold into scores/probs (the int8→bf16 value upcast is
@@ -181,29 +199,30 @@ def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
 
     def _copy(j, slot):
         page = pt_ref[bi, j]
+        if li >= 0:  # static layer index into the stacked pools (see bf16)
+            kp, vp = kp_ref.at[li, h, page], vp_ref.at[li, h, page]
+            ksp, vsp = ksp_ref.at[li, h, page], vsp_ref.at[li, h, page]
+        else:
+            kp, vp = kp_ref.at[h, page], vp_ref.at[h, page]
+            ksp, vsp = ksp_ref.at[h, page], vsp_ref.at[h, page]
         return (
-            pltpu.make_async_copy(kp_ref.at[h, page], k_buf.at[slot],
-                                  k_sem.at[slot]),
-            pltpu.make_async_copy(vp_ref.at[h, page], v_buf.at[slot],
-                                  v_sem.at[slot]),
-            pltpu.make_async_copy(ksp_ref.at[h, page], ks_buf.at[slot],
-                                  ks_sem.at[slot]),
-            pltpu.make_async_copy(vsp_ref.at[h, page], vs_buf.at[slot],
-                                  vs_sem.at[slot]),
+            pltpu.make_async_copy(kp, k_buf.at[slot], k_sem.at[slot]),
+            pltpu.make_async_copy(vp, v_buf.at[slot], v_sem.at[slot]),
+            pltpu.make_async_copy(ksp, ks_buf.at[slot], ks_sem.at[slot]),
+            pltpu.make_async_copy(vsp, vs_buf.at[slot], vs_sem.at[slot]),
         )
 
-    for c in _copy(0, 0):
-        c.start()
+    nbuf = k_buf.shape[0]
+    for j in range(min(nbuf, J)):
+        for c in _copy(j, j % nbuf):
+            c.start()
 
     m = jnp.full((q.shape[0], 1), NEG_INF, jnp.float32)
     denom = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc = jnp.zeros((q.shape[0], hd), jnp.float32)
 
     for j in range(J):
-        slot = j % 2
-        if j + 1 < J:
-            for c in _copy(j + 1, (j + 1) % 2):
-                c.start()
+        slot = j % nbuf
         for c in _copy(j, slot):
             c.wait()
 
@@ -233,22 +252,29 @@ def _paged_kernel8(pt_ref, lens_ref, q_ref, kn_ref, vn_ref, kp_ref, vp_ref,
             acc = acc * alpha + pv
             m = m_cur
 
+        nxt = j + nbuf
+        if nxt < J:
+            for c in _copy(nxt, slot):
+                c.start()
+
     _finish(out_ref, q, kn_ref, vn_ref, m, denom, acc, scale, r)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+@functools.partial(jax.jit, static_argnames=("r", "li", "interpret"))
 def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
-                  r, interpret=False):
+                  r, li=-1, interpret=False):
     """q (b, nkv, SQ*R, hd); k_new/v_new (b, nkv, SQ, hd); pools
-    (nkv, P, psk, fold*hd) fold-stored; page_table (b, J) — sliced to the
-    active pages."""
+    (nkv, P, psk, fold*hd) fold-stored — or (L, nkv, P, psk, fold*hd) with
+    ``li`` the STATIC layer index (unrolled serving loop; avoids the
+    full-layer slice copy); page_table (b, J) — sliced to the active
+    pages."""
     b, nkv, m, hd = q.shape
     sq = k_new.shape[2]
-    psk, minor = k_pages.shape[2], k_pages.shape[3]
+    psk, minor = k_pages.shape[-2], k_pages.shape[-1]
     head = lambda i, j, pt, lens: (i, j, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        functools.partial(_paged_kernel, r=r),
+        functools.partial(_paged_kernel, r=r, li=li),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nkv),
@@ -262,10 +288,10 @@ def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
             out_specs=pl.BlockSpec((1, 1, m, hd), head,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, psk, minor), k_pages.dtype),
-                pltpu.VMEM((2, psk, minor), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NBUF, psk, minor), k_pages.dtype),
+                pltpu.VMEM((NBUF, psk, minor), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, nkv, m, hd), q.dtype),
@@ -274,17 +300,17 @@ def _paged_decode(q, k_new, v_new, k_pages, v_pages, lengths, page_table,
       q, k_new, v_new, k_pages, v_pages)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+@functools.partial(jax.jit, static_argnames=("r", "li", "interpret"))
 def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
-                   lengths, page_table, r, interpret=False):
+                   lengths, page_table, r, li=-1, interpret=False):
     b, nkv, m, hd = q.shape
     sq = k_new.shape[2]
-    psk, minor = k_pages.shape[2], k_pages.shape[3]
-    srows = ks_pages.shape[2]
+    psk, minor = k_pages.shape[-2], k_pages.shape[-1]
+    srows = ks_pages.shape[-2]
     head = lambda i, j, pt, lens: (i, j, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        functools.partial(_paged_kernel8, r=r),
+        functools.partial(_paged_kernel8, r=r, li=li),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, nkv),
@@ -297,14 +323,14 @@ def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
             out_specs=pl.BlockSpec((1, 1, m, hd), head,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, psk, minor), jnp.int8),
-                pltpu.VMEM((2, psk, minor), jnp.int8),
-                pltpu.VMEM((2, srows, 128), jnp.float32),
-                pltpu.VMEM((2, srows, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((NBUF, psk, minor), jnp.int8),
+                pltpu.VMEM((NBUF, psk, minor), jnp.int8),
+                pltpu.VMEM((NBUF, srows, 128), jnp.float32),
+                pltpu.VMEM((NBUF, srows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
+                pltpu.SemaphoreType.DMA((NBUF,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, nkv, m, hd), q.dtype),
@@ -315,7 +341,7 @@ def _paged_decode8(q, k_new, v_new, k_pages, v_pages, ks_pages, vs_pages,
 
 def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
                            page_indices, active_pages=None, ks_pages=None,
-                           vs_pages=None, interpret=False):
+                           vs_pages=None, layer=None, interpret=False):
     """Decode attention over paged pools + the new token, Pallas path.
 
     Same contract as engine.kvcache.paged_cached_attention: q (b, sq, nq,
@@ -323,7 +349,11 @@ def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
     fold-stored read-only (engine/kvcache.py docstring), ``lengths_old``
     excludes the new tokens. sq == 1 is decode; small sq > 1 (speculative
     verify / short continuation chunks) runs causal within the chunk.
-    int8 pools carry (n_kv, P, 1, 128) scale rows. Returns (b, sq, nq, hd).
+    int8 pools carry (n_kv, P, 1, 128) scale rows. ``layer``: STATIC
+    layer index — pools then keep their leading L dim and the kernel DMAs
+    from the right layer directly (an XLA-level slice of a stacked pool
+    feeding a custom call materializes a full-layer copy per layer per
+    step). Returns (b, sq, nq, hd).
     """
     b, sq, nq, hd = q.shape
     nkv = k_new.shape[2]
@@ -343,9 +373,11 @@ def paged_decode_attention(q, k_new, v_new, k_pages, v_pages, lengths_old,
             vs_pages = jnp.pad(vs_pages, pad)[:, :, None, :]
         out = _paged_decode8(qg, kn, vn, k_pages, v_pages, ks_pages,
                              vs_pages, lengths_old, pt, r=r,
+                             li=-1 if layer is None else layer,
                              interpret=interpret)
     else:
         out = _paged_decode(qg, kn, vn, k_pages, v_pages, lengths_old, pt,
-                            r=r, interpret=interpret)
+                            r=r, li=-1 if layer is None else layer,
+                            interpret=interpret)
     out = out.reshape(b, nkv, sq, r, hd).transpose(0, 2, 1, 3, 4)
     return out.reshape(b, sq, nq, hd)

@@ -247,7 +247,9 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
     from accessory_tpu.models import llama
     from accessory_tpu.quant.fuse import fuse_for_decode
 
-    args8 = LLaMAArgs(dim=dim, n_layers=8, n_heads=n_heads, n_kv_heads=8,
+    # 16 layers (~7.7 GB W4) is the largest base that leaves room for the
+    # duplicate tree while fuse_for_decode runs
+    args8 = LLaMAArgs(dim=dim, n_layers=16, n_heads=n_heads, n_kv_heads=8,
                       vocab_size=vocab, multiple_of=multiple_of,
                       ffn_dim_multiplier=1.3, max_seq_len=cache_len,
                       dtype="bfloat16")
