@@ -59,9 +59,14 @@ def _splash_kernel(nq: int, s: int, interpret: bool):
                            block_q_dkv=bq, block_kv_dkv=bkv,
                            block_kv_dkv_compute=bkv,
                            block_q_dq=bq, block_kv_dq=bkv)
-        _SPLASH_CACHE[key] = jax.vmap(sk.make_splash_mha(
-            mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs,
-            interpret=interpret))
+        # the kernel object caches mask-info arrays; build them eagerly —
+        # created under an active trace they'd be tracers, and the cache
+        # would leak them into later traces (chip repro: second jit using
+        # the same (nq, s) kernel dies with UnexpectedTracerError)
+        with jax.ensure_compile_time_eval():
+            _SPLASH_CACHE[key] = jax.vmap(sk.make_splash_mha(
+                mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs,
+                interpret=interpret))
     return _SPLASH_CACHE[key]
 
 

@@ -641,9 +641,14 @@ if __name__ == "__main__":
         bench_scheduler(spec_lookup=4, decode_steps=1, tag="spec-lookup")
     if a.only == "sched-long":
         # long-prompt serving: context reads dominate decode — the regime
-        # the Pallas paged kernel (vs dense gather) is built for
+        # the Pallas paged kernel (vs dense gather) is built for. Big pages
+        # (256 tokens): the kernel's per-page DMA descriptor cost dominates
+        # small pages (r3 A/B at 4k ctx: ps64 18.3 ms/step, ps256 6.8,
+        # ps512 5.5 vs gather 11.9); fragmentation (~ps/2 per seq) is noise
+        # at 2k+ prompts
         bench_scheduler(slots=4, n_requests=8, rate=0.5, prompt_len=2048,
-                        gen_len=128, max_seq_len=4096, tag="2k-prompt")
+                        gen_len=128, max_seq_len=4096, page_size=256,
+                        tag="2k-prompt")
     if a.only == "dit":
         bench_dit_train()
     if a.only == "70b":

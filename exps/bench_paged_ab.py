@@ -54,8 +54,11 @@ def main():
         pcache, lengths=jnp.full((B,), CTX - 256, jnp.int32))
     tok = jnp.ones((B, 1), jnp.int32)
 
+    # donate the cache: without it XLA must preserve the input pools and
+    # the write kernel's aliasing degrades to a full 2x-pool copy per step
+    # (the two 1.13 ms copies in the r3 trace)
     step = jax.jit(lambda p, t, c: llama.forward_paged(
-        p, args, t, c, active_pages=pages_per_seq))
+        p, args, t, c, active_pages=pages_per_seq), donate_argnums=(2,))
 
     logits, pcache = step(params, tok, pcache)
     np.asarray(logits[0, 0, 0])
