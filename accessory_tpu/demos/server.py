@@ -106,6 +106,64 @@ class BatchedEngine:
                 self._wake.clear()
 
 
+_CHAT_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>accessory_tpu chat</title>
+<style>
+ body{font-family:system-ui,sans-serif;max-width:780px;margin:2rem auto;
+      padding:0 1rem;background:#fafafa;color:#222}
+ #log{border:1px solid #ddd;background:#fff;border-radius:8px;
+      padding:1rem;min-height:320px;max-height:60vh;overflow-y:auto}
+ .u{color:#0b5394;margin:.5rem 0 0}.a{color:#222;white-space:pre-wrap;
+      margin:.25rem 0 .75rem}
+ form{display:flex;gap:.5rem;margin-top:1rem}
+ input[type=text]{flex:1;padding:.6rem;border:1px solid #ccc;
+      border-radius:6px}
+ button{padding:.6rem 1.2rem;border:0;border-radius:6px;
+      background:#0b5394;color:#fff;cursor:pointer}
+ .opts{margin-top:.5rem;font-size:.85rem;color:#666}
+ .opts input{width:5rem}
+</style></head><body>
+<h2>accessory_tpu</h2>
+<div id="log"></div>
+<form id="f"><input type="text" id="q" placeholder="Say something..."
+ autofocus><button>Send</button></form>
+<div class="opts">max_gen_len <input id="mgl" value="256">
+ temperature <input id="temp" value="0.0">
+ <label><input type="checkbox" id="stream"> stream (single-turn)</label>
+ <button type="button" id="clear">clear</button></div>
+<script>
+const log=document.getElementById('log'),f=document.getElementById('f'),
+      q=document.getElementById('q');let qas=[];
+function add(cls,text){const d=document.createElement('div');
+  d.className=cls;d.textContent=text;log.appendChild(d);
+  log.scrollTop=log.scrollHeight;return d;}
+document.getElementById('clear').onclick=()=>{qas=[];log.innerHTML='';};
+f.onsubmit=async e=>{e.preventDefault();const msg=q.value.trim();
+ if(!msg)return;q.value='';add('u','> '+msg);
+ const mgl=+document.getElementById('mgl').value||256,
+       temp=+document.getElementById('temp').value||0;
+ if(document.getElementById('stream').checked){
+   const d=add('a','');
+   const r=await fetch('/stream_generate',{method:'POST',
+     body:JSON.stringify({prompt:msg,max_gen_len:mgl,temperature:temp})});
+   const rd=r.body.getReader(),dec=new TextDecoder();let buf='';
+   for(;;){const{done,value}=await rd.read();if(done)break;
+     buf+=dec.decode(value,{stream:true});
+     for(const line of buf.split('\\n\\n')){if(!line.startsWith('data: '))
+       continue;try{const c=JSON.parse(line.slice(6));
+       if(c.end_of_content)d.textContent=c.text;
+       else d.textContent+=c.text;}catch(_){}}
+     buf=buf.slice(buf.lastIndexOf('\\n\\n')+2);}
+ }else{
+   qas.push([msg,null]);const d=add('a','...');
+   const r=await fetch('/chat',{method:'POST',
+     body:JSON.stringify({qas:qas,max_gen_len:mgl,temperature:temp})});
+   const j=await r.json();d.textContent=j.response||j.error;
+   qas[qas.length-1][1]=j.response;}
+};
+</script></body></html>"""
+
+
 def make_handler(model, lock: threading.Lock, engine=None):
     from accessory_tpu.data.conversation import default_conversation
 
@@ -121,6 +179,17 @@ def make_handler(model, lock: threading.Lock, engine=None):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path in ("/", "/index.html"):
+                # single-file chat UI — the reference's gradio web demo
+                # role (accessory/demos/single_turn.py etc.) without the
+                # gradio dependency: multi-turn /chat plus token streaming
+                # via /stream_generate
+                body = _CHAT_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

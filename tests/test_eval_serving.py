@@ -87,6 +87,10 @@ def test_http_server_roundtrip(model):
     try:
         with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
             assert json.load(r)["status"] == "ok"
+        # the chat web UI (gradio-demo role) serves at /
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
+            page = r.read().decode()
+            assert "<!doctype html>" in page and "/stream_generate" in page
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/generate",
             data=json.dumps({"prompts": ["hello world"],
