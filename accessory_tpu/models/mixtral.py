@@ -39,6 +39,7 @@ Params = Dict[str, Any]
 
 # Generator may unstack layers for the trace-time-unrolled decode loop
 SUPPORTS_UNROLLED_DECODE = True
+SUPPORTS_UNROLLED_PAGED = True
 # init_kv_cache(kv_dtype="int8") supported (see models.llama)
 SUPPORTS_KV_INT8 = True
 # forward_paged(continuation=True) supported (chunked prefill /
@@ -428,9 +429,7 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
     old_lengths = pcache.lengths
     int8_kv = pcache.ks_pages is not None
 
-    def body(h, xs):
-        layer, kp, vp = xs[:3]
-        kps, vps = (xs[3], xs[4]) if int8_kv else (None, None)
+    def paged_block(h, layer, kp, vp, kps=None, vps=None, li=None):
         att = layer["attention"]
         x = rms_norm(h, layer["attention_norm"]["weight"], args.norm_eps)
         q = module_linear(x, att["wq"]).reshape(b, sq, nq, hd)
@@ -442,7 +441,7 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
         if decode or continuation:
             out = paged_cached_attention(
                 q, k, v, kp, vp, old_lengths, page_indices, active_pages,
-                kps, vps)
+                kps, vps, layer=li)
         else:
             out = dense_attention(q, k, v, causal=True, q_offset=0)
 
@@ -454,12 +453,33 @@ def forward_paged(params: Params, args: MixtralArgs, tokens: jnp.ndarray,
             ff["w1"]["weight"], ff["w3"]["weight"], ff["w2"]["weight"],
             k=args.num_experts_per_tok, impl=moe_impl)
         h = h + y.reshape(b, sq, args.dim)
-        return h, (k, v)
+        return h, k, v
 
-    xs = (params["layers"], pcache.k_pages, pcache.v_pages)
-    if int8_kv:
-        xs = xs + (pcache.ks_pages, pcache.vs_pages)
-    h, (new_k, new_v) = jax.lax.scan(body, h, xs)
+    if isinstance(params["layers"], (list, tuple)):
+        # unrolled paged decode (serving layout — see llama.forward_paged):
+        # pools pass WHOLE with the static layer index so the Pallas paged
+        # kernel DMAs from the right layer directly; scan-sliced pools
+        # feeding the kernel materialize full-layer copies per step
+        nk, nv = [], []
+        for i, layer in enumerate(params["layers"]):
+            h, k, v = paged_block(
+                h, layer, pcache.k_pages, pcache.v_pages,
+                pcache.ks_pages if int8_kv else None,
+                pcache.vs_pages if int8_kv else None, li=i)
+            nk.append(k)
+            nv.append(v)
+        new_k, new_v = jnp.stack(nk), jnp.stack(nv)
+    else:
+        def body(h, xs):
+            layer, kp, vp = xs[:3]
+            kps, vps = (xs[3], xs[4]) if int8_kv else (None, None)
+            h, k, v = paged_block(h, layer, kp, vp, kps, vps)
+            return h, (k, v)
+
+        xs = (params["layers"], pcache.k_pages, pcache.v_pages)
+        if int8_kv:
+            xs = xs + (pcache.ks_pages, pcache.vs_pages)
+        h, (new_k, new_v) = jax.lax.scan(body, h, xs)
 
     if int8_kv:
         k_pages, v_pages, ks_pages, vs_pages = write_tokens_all_layers(

@@ -144,3 +144,36 @@ def test_mixtral_forward_paged_int8_kv():
     assert pc8.ks_pages is not None
     d8, pc8 = mixtral.forward_paged(params, args, toks[:, :1], pc8)
     np.testing.assert_allclose(np.asarray(d8), np.asarray(d0), atol=0.35)
+
+
+def test_mixtral_forward_paged_unrolled_matches_scan():
+    """Unrolled (serving-layout, per-layer params + static layer index into
+    the whole pools) paged decode == the stacked scan path."""
+    import numpy as np
+
+    from accessory_tpu.models import llama, mixtral
+
+    args = MixtralArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                       hidden_dim=128, vocab_size=97, num_experts=4,
+                       num_experts_per_tok=2, max_seq_len=32,
+                       dtype="float32")
+    params = mixtral.init_params(jax.random.PRNGKey(0), args)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 97)
+
+    pc1 = mixtral.init_paged_cache(args, slots=2, total_pages=8, page_size=8)
+    l1, pc1 = mixtral.forward_paged(params, args, toks, pc1)
+    d1, pc1 = mixtral.forward_paged(params, args, toks[:, :1], pc1)
+
+    up = llama.unstack_layers(params)
+    pc2 = mixtral.init_paged_cache(args, slots=2, total_pages=8, page_size=8)
+    l2, pc2 = mixtral.forward_paged(up, args, toks, pc2)
+    d2, pc2 = mixtral.forward_paged(up, args, toks[:, :1], pc2)
+
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               rtol=2e-5, atol=2e-5)
+    # scan and unrolled lower to differently-fused f32 graphs — cached
+    # values agree to roundoff, not bit-exactly
+    np.testing.assert_allclose(np.asarray(pc1.k_pages),
+                               np.asarray(pc2.k_pages), rtol=2e-5, atol=2e-5)
