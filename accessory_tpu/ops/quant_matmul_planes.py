@@ -122,7 +122,7 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
             group_size: int, tk: int, precise: bool,
             norm_eps: float = 0.0, has_norm: bool = False,
             has_res: bool = False, rope_style: str = "",
-            rope_hd: int = 0):
+            rope_hd: int = 0, group_dot: bool = False):
     rest = list(rest)
     norm_ref = rest.pop(0) if has_norm else None
     res_ref = rest.pop(0) if has_res else None
@@ -168,15 +168,36 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
     gh = half // group_size                    # groups per half
     for h, q8 in ((0, lo8), (1, hi8)):
         s = s_all[h * gh:(h + 1) * gh]
-        if precise:
+        if group_dot:
+            # Per-element VPU work is just the int8->bf16 cast: the scale
+            # multiply moves AFTER the MXU — one (TM, TN) multiply-add per
+            # group instead of one per element. The kernel is VPU-bound on
+            # dequant (BENCHMARKS.md: 562 GB/s vs the 715 GB/s streaming
+            # probe = ~3.4 VPU ops/element at the stream rate), so shaving
+            # the multiply raises the memory-bound ceiling. Numerics are
+            # BETTER than the fused path: q values 0..15 are exact in
+            # bf16, the dot accumulates f32, and s multiplies in f32.
+            qb = q8.astype(x.dtype)
+            part = None
+            for g in range(gh):
+                d = jnp.dot(x[:, h * half + g * group_size:
+                              h * half + (g + 1) * group_size],
+                            qb[g * group_size:(g + 1) * group_size],
+                            preferred_element_type=jnp.float32)
+                t = d * s[g:g + 1]
+                part = t if part is None else part + t
+            acc_ref[:] += part
+        elif precise:
             qf = q8.astype(jnp.float32).reshape(gh, group_size, tn)
             w = (qf * s[:, None, :]).reshape(half, tn).astype(x.dtype)
+            acc_ref[:] += jnp.dot(x[:, h * half:(h + 1) * half], w,
+                                  preferred_element_type=jnp.float32)
         else:
             qb = q8.astype(jnp.bfloat16).reshape(gh, group_size, tn)
             w = (qb * s[:, None, :].astype(jnp.bfloat16)).reshape(half, tn)
             w = w.astype(x.dtype)
-        acc_ref[:] += jnp.dot(x[:, h * half:(h + 1) * half], w,
-                              preferred_element_type=jnp.float32)
+            acc_ref[:] += jnp.dot(x[:, h * half:(h + 1) * half], w,
+                                  preferred_element_type=jnp.float32)
 
     # zero-point correction via one tiny MXU dot: xsum (TM, G) @ zs (G, TN).
     # xsum in f32 — m is small, the reduce is cheap, and it avoids bf16
@@ -211,12 +232,14 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
 
 @functools.partial(jax.jit, static_argnames=("group_size", "tk", "precise",
                                              "norm_eps", "rope_style",
-                                             "rope_hd", "interpret"))
+                                             "rope_hd", "group_dot",
+                                             "interpret"))
 def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
                residual=None, rope_cos=None, rope_sin=None, *,
                group_size: int, tk: int,
                precise: bool = True, norm_eps: float = 1e-5,
                rope_style: str = "", rope_hd: int = 0,
+               group_dot: bool | None = None,
                interpret: bool = False):
     """x2d (M, K) @ plane-packed W4 -> (M, N).
 
@@ -234,8 +257,12 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         Rows come from ops.rope.rope_rows (sin sign-folded, v columns
         cos=1/sin=0). Requires rope_hd | TN (true for hd in {64, 128}).
     """
+    import os
+
     m, k = x2d.shape
     n = packed_planes.shape[1]
+    gd_env = os.environ.get("ACCESSORY_QMM_GROUPDOT", "auto") \
+        if group_dot is None else ("1" if group_dot else "0")
     assert k % tk == 0 and (tk // 2) % group_size == 0, (k, tk, group_size)
     assert norm_weight is None or k == tk, "norm fusion needs K == tk"
     assert (rope_cos is None) == (not rope_style)
@@ -257,14 +284,22 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
     # the read-reduce ceiling). Fewer block boundaries = better
     # compute/DMA overlap; VMEM for the (tk/8, 2048) u32 block
     # double-buffered is ~4 MB of 16. ACCESSORY_QMM_TN caps it for A/Bs.
-    import os
-
     tn_max = int(os.environ.get("ACCESSORY_QMM_TN", "2048"))
     tn = 128
     for cand in (2048, 1024, 512, 256):
         if cand <= tn_max and npad % cand == 0:
             tn = cand
             break
+    if gd_env == "auto":
+        # chip A/B (exps/bench_planes_groupdot.py + end-to-end headline):
+        # post-dot per-group scaling wins where blocks are small (the
+        # unrolled per-group dots don't break DMA overlap): wqkv-shape
+        # tn=512 +12%, w2-shape gh=2 +20%; it loses ~10% on the big
+        # (tk/8, 2048) w13/wo blocks where the single fused dot pipelines
+        # better.
+        group_dot = tn <= 512 or (tk // 2) // group_size <= 2
+    else:
+        group_dot = gd_env == "1"
     pad_m = (-m) % tm
     if pad_m:
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
@@ -307,7 +342,8 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
                           precise=precise, norm_eps=norm_eps,
                           has_norm=norm_weight is not None,
                           has_res=residual is not None,
-                          rope_style=rope_style, rope_hd=rope_hd),
+                          rope_style=rope_style, rope_hd=rope_hd,
+                          group_dot=group_dot),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j),

@@ -21,18 +21,36 @@ def _mk(k, n, gs, seed=0, act=jnp.float32):
     return qw
 
 
+@pytest.mark.parametrize("group_dot", [False, True])
 @pytest.mark.parametrize("m,k,n,gs", [(8, 512, 128, 128), (8, 1024, 256, 128),
                                       (16, 512, 256, 64), (100, 512, 384, 128)])
-def test_planes_matches_xla_reference(m, k, n, gs):
+def test_planes_matches_xla_reference(m, k, n, gs, group_dot):
     qw = _mk(k, n, gs)
     qp = to_planes_layout(qw)
     assert qp.layout == "planes" and qp.tile_k > 0
     x = jax.random.normal(jax.random.PRNGKey(7), (m, k), jnp.float32)
     ref = jnp.dot(x, dequantize_weight(qw, jnp.float32))
     out = planes_qmm(x, qp.packed, qp.scales, qp.zeros,
-                     group_size=gs, tk=qp.tile_k, interpret=True)
+                     group_size=gs, tk=qp.tile_k, group_dot=group_dot,
+                     interpret=True)
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-2, atol=scale * 1e-2)
+
+
+def test_planes_group_dot_epilogues_match_fused_path():
+    """group_dot with norm/residual fusions agrees with the per-element
+    path (the epilogues are acc-level, independent of the dot split)."""
+    qw = _mk(512, 256, 128)
+    qp = to_planes_layout(qw)
+    x = jax.random.normal(jax.random.PRNGKey(5), (8, 512), jnp.float32)
+    nw = jax.random.normal(jax.random.PRNGKey(6), (512,), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(8), (8, 256), jnp.float32)
+    outs = [planes_qmm(x, qp.packed, qp.scales, qp.zeros, norm_weight=nw,
+                       residual=res, group_size=128, tk=qp.tile_k,
+                       group_dot=gd, interpret=True) for gd in (False, True)]
+    scale = float(jnp.abs(outs[0]).max())
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(outs[1]),
                                rtol=1e-2, atol=scale * 1e-2)
 
 
