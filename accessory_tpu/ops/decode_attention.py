@@ -245,6 +245,20 @@ def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
         pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
+        # Chip-measured negative results (round 3, exps/bench_attn_bblk.py
+        # + BENCHMARKS.md "attention restructure A/Bs"), both deleted:
+        #   - block-diagonal head folding (all NKV heads in one MXU dot
+        #     pair): standalone parity with this kernel, no faster — the
+        #     kernel is DMA-bound, not dot-issue-bound.
+        #   - write-first + multi-stream read (each pool passed once per
+        #     head = 2*nkv parallel DMA streams): the read kernel alone
+        #     hits 685 GB/s vs 450 here, but the separate aliased column
+        #     write costs ~8 us/layer of fixed launch+DMA latency and the
+        #     combination loses 6.5% at 1k ctx / 9% at 4k end-to-end.
+        #     The multi-stream DMA finding stands (see the --stream probe)
+        #     and is the lever to reach >620 GB/s if attention ever
+        #     dominates; the fused write below is what makes this kernel
+        #     win end-to-end.
         b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize)
         out, wk, wv = _decode_attn_bloop_w(
             qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
