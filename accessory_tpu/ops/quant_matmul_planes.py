@@ -261,7 +261,11 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
 
     m, k = x2d.shape
     n = packed_planes.shape[1]
-    gd_env = os.environ.get("ACCESSORY_QMM_GROUPDOT", "auto") \
+    # default OFF: the small-block micro-bench wins (+12-20%) do not
+    # survive in-model (headline +0.4% noise, 7B -2.5% — BENCHMARKS.md
+    # round-3 attention/kernel A/Bs); "auto" applies the small-block
+    # heuristic, "1" forces it everywhere
+    gd_env = os.environ.get("ACCESSORY_QMM_GROUPDOT", "0") \
         if group_dot is None else ("1" if group_dot else "0")
     assert k % tk == 0 and (tk // 2) % group_size == 0, (k, tk, group_size)
     assert norm_weight is None or k == tk, "norm fusion needs K == tk"
