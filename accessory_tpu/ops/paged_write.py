@@ -37,18 +37,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(meta_ref, kn_ref, vn_ref, kp_any, vp_any, okp, ovp,
-            kbuf, vbuf, ksem, vsem, *, L, S, psk, fold, hd):
-    """Grid (b, n_kv). meta (b, s, 3) SMEM: physical page, row, lane group
-    of each token. kn/vn (L, 1, s, 1, hd) VMEM (this slot+head's tokens,
-    all layers). Pools (L, n_kv, P, psk, fold*hd) in ANY, aliased to
-    outputs. kbuf/vbuf (2, psk, fold*hd) VMEM ring; ksem/vsem DMA((2,))."""
+            kbuf, vbuf, ksem, vsem, *, L, S, psk, fold, hd, tr):
+    """Grid (b, n_kv). meta (b, s, 4) SMEM: physical page, row, lane group,
+    row-tile base of each token. kn/vn (L, 1, s, 1, hd) VMEM (this
+    slot+head's tokens, all layers). Pools (L, n_kv, P, psk, fold*hd) in
+    ANY, aliased to outputs. kbuf/vbuf (2, tr, fold*hd) VMEM ring.
+
+    RMW granularity is ONE row tile (``tr`` sublanes: 16 for bf16, 32 for
+    int8, 8 for f32), not the whole page block: a decode-step write
+    round-trips L*n_kv*b tiles (~2 KB each) instead of page blocks — at
+    page_size 512 the block RMW moved 64 KB per touched page (90 MB/step
+    at serving scale), which made big pages pay for their own fast reads."""
     bi = pl.program_id(0)
     h = pl.program_id(1)
 
-    # Steps (l, j) RMW one page block each. With S == 1 consecutive steps
-    # touch different layers (disjoint blocks), so a 2-deep ring overlaps
+    # Steps (l, j) RMW one row tile each. With S == 1 consecutive steps
+    # touch different layers (disjoint tiles), so a 2-deep ring overlaps
     # the next read with the previous write. With S > 1 two tokens can
-    # share a page (same l), so the chain drains fully before each read.
+    # share a tile (same l), so the chain drains fully before each read.
     steps = [(l, j) for l in range(L) for j in range(S)]
     pend = [None, None]
     for idx, (l, j) in enumerate(steps):
@@ -60,28 +66,29 @@ def _kernel(meta_ref, kn_ref, vn_ref, kp_any, vp_any, okp, ovp,
                     c.wait()
                 pend[sl] = None
         page = meta_ref[bi, j, 0]
+        base = pl.multiple_of(meta_ref[bi, j, 3], tr)
         # read back through the OUTPUT refs: on TPU they alias the inputs
         # (same HBM), and in interpret mode the output buffer is the one
         # accumulating earlier tokens' writes (reading the input ref there
         # would lose every write but the last per page)
-        ck = pltpu.make_async_copy(okp.at[l, h, page], kbuf.at[slot],
-                                   ksem.at[slot])
-        cv = pltpu.make_async_copy(ovp.at[l, h, page], vbuf.at[slot],
-                                   vsem.at[slot])
+        ck = pltpu.make_async_copy(okp.at[l, h, page, pl.ds(base, tr)],
+                                   kbuf.at[slot], ksem.at[slot])
+        cv = pltpu.make_async_copy(ovp.at[l, h, page, pl.ds(base, tr)],
+                                   vbuf.at[slot], vsem.at[slot])
         ck.start()
         cv.start()
         ck.wait()
         cv.wait()
 
-        row = meta_ref[bi, j, 1]
+        row = meta_ref[bi, j, 1] - base
         grp = meta_ref[bi, j, 2]
         kn2d = kn_ref[l, 0, 0].astype(jnp.float32)        # (s, hd)
         vn2d = vn_ref[l, 0, 0].astype(jnp.float32)
         jrows = jax.lax.broadcasted_iota(jnp.int32, kn2d.shape, 0)
         kn = jnp.sum(jnp.where(jrows == j, kn2d, 0.0), axis=0)   # (hd,)
         vn = jnp.sum(jnp.where(jrows == j, vn2d, 0.0), axis=0)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (psk, fold * hd), 0)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (psk, fold * hd), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tr, fold * hd), 0)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (tr, fold * hd), 1)
         sel = (rows == row) & (lanes >= grp * hd) & (lanes < (grp + 1) * hd)
         # place the vector at lanes [grp*hd, (grp+1)*hd): pad to a full
         # lane row, roll by the dynamic group offset
@@ -92,9 +99,11 @@ def _kernel(meta_ref, kn_ref, vn_ref, kp_any, vp_any, okp, ovp,
             vnrow = pltpu.roll(vnrow, grp * hd, 1)
         kbuf[slot] = jnp.where(sel, knrow.astype(kbuf.dtype), kbuf[slot])
         vbuf[slot] = jnp.where(sel, vnrow.astype(vbuf.dtype), vbuf[slot])
-        ck = pltpu.make_async_copy(kbuf.at[slot], okp.at[l, h, page],
+        ck = pltpu.make_async_copy(kbuf.at[slot],
+                                   okp.at[l, h, page, pl.ds(base, tr)],
                                    ksem.at[slot])
-        cv = pltpu.make_async_copy(vbuf.at[slot], ovp.at[l, h, page],
+        cv = pltpu.make_async_copy(vbuf.at[slot],
+                                   ovp.at[l, h, page, pl.ds(base, tr)],
                                    vsem.at[slot])
         ck.start()
         cv.start()
@@ -151,6 +160,14 @@ def _kernel_scales(meta_ref, ks_ref, vs_ref, ksp_any, vsp_any, oks, ovs,
                 c.wait()
 
 
+def _tile_rows(dtype, psk: int) -> int:
+    """Native sublane tile for the pool dtype (the RMW granularity): 8
+    rows for 4-byte, 16 for bf16, 32 for int8. Falls back to the whole
+    page block when psk isn't tile-divisible (tiny pages)."""
+    tr = 8 * (4 // jnp.dtype(dtype).itemsize)
+    return tr if psk % tr == 0 else psk
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",),
                    donate_argnums=(0, 1))
 def _write_kv(k_pages, v_pages, kn, vn, meta, interpret=False):
@@ -158,6 +175,7 @@ def _write_kv(k_pages, v_pages, kn, vn, meta, interpret=False):
     psk, minor = k_pages.shape[3], k_pages.shape[4]
     b, s = meta.shape[:2]
     hd = kn.shape[-1]
+    tr = _tile_rows(k_pages.dtype, psk)
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     slot_blk = lambda i, j, m: (0, i, j, 0, 0)
     # (L, b, s, n_kv, hd) -> (L, b, n_kv, s, hd): grid picks (slot, head)
@@ -165,7 +183,7 @@ def _write_kv(k_pages, v_pages, kn, vn, meta, interpret=False):
     vn = vn.transpose(0, 1, 3, 2, 4)
     return pl.pallas_call(
         functools.partial(_kernel, L=L, S=s, psk=psk, fold=minor // hd,
-                          hd=hd),
+                          hd=hd, tr=tr),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, n_kv),
@@ -178,8 +196,8 @@ def _write_kv(k_pages, v_pages, kn, vn, meta, interpret=False):
             ],
             out_specs=[any_spec, any_spec],
             scratch_shapes=[
-                pltpu.VMEM((2, psk, minor), k_pages.dtype),
-                pltpu.VMEM((2, psk, minor), v_pages.dtype),
+                pltpu.VMEM((2, tr, minor), k_pages.dtype),
+                pltpu.VMEM((2, tr, minor), v_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -238,7 +256,10 @@ def paged_write_tokens(k_pages, v_pages, k_new, v_new, page_indices,
     pos = start_pos[:, None] + jnp.arange(s)[None, :]            # (b, s)
     page = jnp.take_along_axis(page_indices, pos // ps, axis=1)  # (b, s)
     t = pos % ps
-    meta = jnp.stack([page, t % psk, t // psk], axis=-1).astype(jnp.int32)
+    tr = _tile_rows(k_pages.dtype, psk)
+    row = t % psk
+    meta = jnp.stack([page, row, t // psk, (row // tr) * tr],
+                     axis=-1).astype(jnp.int32)
 
     ksc = vsc = None
     if ks_pages is not None:
