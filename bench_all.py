@@ -620,6 +620,7 @@ if __name__ == "__main__":
     ap.add_argument("--only", default=None,
                     choices=[None, "tiny", "7b", "moe", "sphinx", "ttft",
                              "sched", "longctx", "kv8", "kv8-longctx",
+                             "7b-kv8",
                              "sched-pc", "sched-spec", "sched-long",
                              "sched-sweep", "train", "train-qpeft",
                              "70b", "dit"])
@@ -697,6 +698,14 @@ if __name__ == "__main__":
                            dict(dim=2048, n_layers=22, n_heads=32,
                                 n_kv_heads=4, vocab_size=32000,
                                 multiple_of=256), cache_len=4096)
+    if a.only == "7b-kv8":
+        # 7B MHA is the KV-read-dominated regime even at 1k ctx (per-step
+        # reads: ~4 GB KV vs ~3.5 GB W4 weights at bs8) — int8 KV halves
+        # the dominant term; the production serving config for this model
+        bench_llama_decode("LLaMA2-7B",
+                           dict(dim=4096, n_layers=32, n_heads=32,
+                                vocab_size=32000, multiple_of=256),
+                           kv_dtype="int8")
     if a.only == "kv8":
         bench_llama_decode("TinyLlama-1.1B",
                            dict(dim=2048, n_layers=22, n_heads=32,
