@@ -112,9 +112,11 @@ def unpack_planes(packed_planes: jnp.ndarray, in_dim: int, tk: int,
     q = q.reshape(k, n).astype(jnp.float32)
     g = group_size
     q = q.reshape(k // g, g, n)
-    # planes layout folds zeros to zs = zeros * scales: w = q*s - zs
-    w = q * scales.astype(jnp.float32)[:, None, :] \
-        - zs.astype(jnp.float32)[:, None, :]
+    # planes layout folds zeros to zs = zeros * scales: w = q*s - zs.
+    # Rows may be padded to the kernel's sublane alignment
+    # (quant.fuse._align_scale_rows) — slice to the real group count.
+    w = q * scales[:k // g].astype(jnp.float32)[:, None, :] \
+        - zs[:k // g].astype(jnp.float32)[:, None, :]
     return w.reshape(k, n).astype(dtype)
 
 
@@ -309,7 +311,8 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
         if residual is not None:
             residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
-    pad_g = (-scales.shape[0]) % 8
+    # sublane tile is 8 rows for f32, 16 for 16-bit scale storage
+    pad_g = (-scales.shape[0]) % (8 if scales.dtype.itemsize == 4 else 16)
     if pad_g:
         scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
         zs = jnp.pad(zs, ((0, pad_g), (0, 0)))
@@ -325,8 +328,11 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         pl.BlockSpec((zs.shape[0], tn), lambda i, j, kk: (0, j),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [x2d, packed_planes, scales.astype(jnp.float32),
-                zs.astype(jnp.float32)]
+    # scales/zs stream in their STORED dtype (f16/bf16 via
+    # ACCESSORY_SCALES_DTYPE halves their 12.5% share of the quant-path
+    # stream); the kernel upcasts blocks to f32 before any math, so a
+    # host-side astype here would only defeat the bandwidth saving
+    operands = [x2d, packed_planes, scales, zs]
     if norm_weight is not None:
         in_specs.append(pl.BlockSpec((1, tk), lambda i, j, kk: (0, 0),
                                      memory_space=pltpu.VMEM))

@@ -88,4 +88,78 @@ def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
             del ff["w1"], ff["w3"]
             layers["feed_forward"] = ff
     out["layers"] = layers
+    import os
+
+    # Default OFF — measured SLOWER on chip (r4 interleaved A/B, 14 pairs:
+    # -2.7% median). The pad/convert kernels this removes turn out to be
+    # net-positive: their per-step outputs are placed in alternate memory
+    # (S(1)) by XLA memory-space assignment, effectively prefetching the
+    # scale/norm operands that the Pallas custom-calls otherwise DMA from
+    # HBM at kernel start. Kept for A/Bs (ACCESSORY_KERNEL_PREP=1).
+    if os.environ.get("ACCESSORY_KERNEL_PREP", "0") == "1":
+        out = kernel_prep(out)
     return out
+
+
+def _align_scale_rows(qw: QuantizedWeight) -> QuantizedWeight:
+    """Pad planes/w8 scale+zeros rows up to the kernels' sublane alignment
+    (8 rows f32, 16 rows for 16-bit storage). planes_qmm/w8_qmm otherwise
+    emit two pad KERNELS per call per step (w2's K=5632/g128 → 44 rows);
+    padded rows are never read (the kernels roll-and-slice the real
+    groups), and dequant consumers slice back to in_dim // group_size."""
+    import dataclasses
+
+    if qw.layout not in ("planes", "w8"):
+        return qw
+    rows = qw.in_dim // qw.group_size
+    if qw.scales.shape[-2] != rows:
+        return qw  # already padded
+    align = 8 if jnp.dtype(qw.scales.dtype).itemsize == 4 else 16
+    pad = (-rows) % align
+    if not pad:
+        return qw
+    widths = [(0, 0)] * (qw.scales.ndim - 2) + [(0, pad), (0, 0)]
+    return dataclasses.replace(qw, scales=jnp.pad(qw.scales, widths),
+                               zeros=jnp.pad(qw.zeros, widths))
+
+
+_NORM_KEYS = ("attention_norm", "ffn_norm", "norm", "input_layernorm",
+              "post_attention_layernorm", "layernorm", "rmsnorm")
+
+
+def kernel_prep(params: Dict[str, Any]) -> Dict[str, Any]:
+    """One-time decode-tree prep that removes per-step launch bloat.
+
+    The decode step is kernel-launch-bound (BENCHMARKS.md round 2-3); an
+    HLO audit of the round-3 headline step counted 46 ``pad`` and 45
+    ``convert`` kernels per step — all of them re-doing, every step, work
+    that depends only on the weights:
+      * scale/zeros rows of planes/w8 quantized weights padded to the
+        sublane tile (see _align_scale_rows),
+      * norm vectors upcast to f32 for the fused-norm kernel operand
+        (planes_qmm norm_weight.astype(f32) — a real convert kernel when
+        the norm is stored bf16, since custom-call operands cannot fuse).
+    Applying both here turns them into no-ops at trace time. Pure tree
+    transform; math unchanged (rms_norm/layer_norm upcast to f32 anyway).
+    """
+    def walk(node, name=""):
+        if isinstance(node, QuantizedWeight):
+            return _align_scale_rows(node)
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (any(k == nk or k.endswith("_" + nk) for nk in _NORM_KEYS)
+                        and isinstance(v, dict)):
+                    v = {kk: (vv.astype(jnp.float32)
+                              if kk in ("weight", "bias")
+                              and hasattr(vv, "dtype")
+                              and jnp.issubdtype(vv.dtype, jnp.floating)
+                              else vv)
+                         for kk, vv in v.items()}
+                out[k] = walk(v, k)
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, name) for v in node)
+        return node
+
+    return walk(params)

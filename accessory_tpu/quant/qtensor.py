@@ -286,10 +286,10 @@ def dense_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
                              qw.scales, qw.zeros, dtype=dtype)
     if qw.layout == "w8":
         g = qw.group_size
-        qf = qw.packed.astype(jnp.float32).reshape(qw.in_dim // g, g,
-                                                   qw.out_dim)
-        w = (qf * qw.scales.astype(jnp.float32)[:, None, :]
-             - qw.zeros.astype(jnp.float32)[:, None, :])
+        gr = qw.in_dim // g  # scale rows may be sublane-padded (fuse.py)
+        qf = qw.packed.astype(jnp.float32).reshape(gr, g, qw.out_dim)
+        w = (qf * qw.scales[:gr].astype(jnp.float32)[:, None, :]
+             - qw.zeros[:gr].astype(jnp.float32)[:, None, :])
         return w.reshape(qw.in_dim, qw.out_dim).astype(dtype)
     raise NotImplementedError(f"dense_weight for layout {qw.layout!r}")
 
