@@ -303,7 +303,7 @@ def cache_axes() -> Dict[str, Tuple]:
 
 def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
            cache_k=None, cache_v=None, update_cache=False,
-           cache_ks=None, cache_vs=None, rope_t=None):
+           cache_ks=None, cache_vs=None, rope_t=None, attn_fn=None):
     """One transformer block.
 
     Returns (h, k_new, v_new) — or, with ``update_cache=True`` (unrolled
@@ -359,6 +359,11 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
                                       cache_ks, cache_vs, q_offset)
         else:
             out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
+    elif attn_fn is not None:
+        # injected attention (e.g. parallel.context.cp_attention — the
+        # sequence axis of h is cp-sharded and only attention mixes
+        # positions, so this is the single seam context parallelism needs)
+        out = attn_fn(q, k, v)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -394,6 +399,7 @@ def forward(
     cur_pos=0,
     remat: bool = False,
     embeds: Optional[jnp.ndarray] = None,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """Unified forward.
 
@@ -442,6 +448,10 @@ def forward(
         rope_t = (cr, sr, args.rope_style, args.head_dim)
 
     block = _block
+    if attn_fn is not None:
+        import functools as _ft
+
+        block = _ft.partial(_block, attn_fn=attn_fn)
     if remat:
         block = jax.checkpoint(
             _block, policy=remat_policy(remat),

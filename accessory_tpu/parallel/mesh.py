@@ -64,9 +64,12 @@ def make_mesh(
     return Mesh(arr, names)
 
 
-def local_mesh(tp: int = 1, dp: int = 1, fsdp: int = 1, ep: int = 1) -> Mesh:
-    """Convenience mesh over all visible devices: (dp, fsdp, ep, tp)."""
-    return make_mesh({"dp": dp, "fsdp": fsdp, "ep": ep, "tp": tp})
+def local_mesh(tp: int = 1, dp: int = 1, fsdp: int = 1, ep: int = 1,
+               cp: int = 1) -> Mesh:
+    """Convenience mesh over all visible devices: (dp, fsdp, ep, cp, tp).
+    ``cp`` is the context-parallel (sequence-sharding) axis — see
+    parallel.context; the reference has no equivalent."""
+    return make_mesh({"dp": dp, "fsdp": fsdp, "ep": ep, "cp": cp, "tp": tp})
 
 
 def _resolve(axis: Optional[str], rules: Mapping[str, Any], mesh_axes) -> Any:

@@ -75,6 +75,7 @@ def make_train_step(
     accum_steps: int = 1,
     ignore_index: int = 0,
     moe_aux: bool = False,
+    attn_fn=None,
 ):
     """Build a jittable train_step(state, batch) → (state, metrics).
 
@@ -109,6 +110,10 @@ def make_train_step(
         kwargs = {}
         if images is not None:
             kwargs["images"] = images  # multimodal families (sphinx*)
+        if attn_fn is not None:
+            # context parallelism (parallel.context.cp_attention): inject
+            # the sequence-sharded attention into the llama-family forward
+            kwargs["attn_fn"] = attn_fn
         if moe_aux:
             logits, _, aux = module.forward(
                 params, args, examples, remat=remat, with_aux_loss=True,
