@@ -48,9 +48,15 @@ def _kernel_nbhs(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
         q = q_ref[b, 0]
         kc = kc_ref[0, b]
         vc = vc_ref[0, b]
-        s_old = jax.lax.dot_general(
-            q, kc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) * scale
+        if _SCALEQ:
+            s_old = jax.lax.dot_general(
+                (q.astype(jnp.float32) * scale).astype(q.dtype), kc,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        else:
+            s_old = jax.lax.dot_general(
+                q, kc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec) * scale
         mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
         s_old = jnp.where(mask, s_old, NEG_INF)
         kn = kn_ref[b, 0, 0].astype(jnp.float32)
@@ -58,8 +64,12 @@ def _kernel_nbhs(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
         qf = q.astype(jnp.float32)
         s_new = jnp.sum(qf * kn[None, :], axis=1, keepdims=True) * scale
         m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
-        p_old = jnp.exp(s_old - m)
-        p_new = jnp.exp(s_new - m)
+        if _NOEXP:
+            p_old = jnp.abs(s_old - m)
+            p_new = jnp.abs(s_new - m)
+        else:
+            p_old = jnp.exp(s_old - m)
+            p_new = jnp.exp(s_new - m)
         denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
         out = jax.lax.dot_general(
             p_old.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
@@ -75,14 +85,17 @@ def _kernel_nbhs(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
                                    oldv).astype(outv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("b_blk",))
-def attn_nbhs(q, k_new, v_new, cache_k, cache_v, lengths, pos, b_blk):
+@functools.partial(jax.jit, static_argnames=("b_blk", "write"))
+def attn_nbhs(q, k_new, v_new, cache_k, cache_v, lengths, pos, b_blk,
+              write=True):
     b, nkv, r, hd = q.shape
     S = cache_k.shape[3]
     head_q = lambda j, i, lens, p: (i, j, 0, 0)
     head_c = lambda j, i, lens, p: (j, i, 0, 0)
-    tile = lambda j, i, lens, p: (j, i, 0, p[0] // 128)
+    tile = ((lambda j, i, lens, p: (j, i, 0, p[0] // 128)) if write
+            else (lambda j, i, lens, p: (j, i, 0, 0)))
     pool_shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    tile_shape = jax.ShapeDtypeStruct((nkv, b, hd, 128), cache_k.dtype)
     out, wk, wv = pl.pallas_call(
         _kernel_nbhs,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -110,15 +123,27 @@ def attn_nbhs(q, k_new, v_new, cache_k, cache_v, lengths, pos, b_blk):
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
-                   pool_shape, pool_shape],
-        input_output_aliases={5: 1, 6: 2},
+                   pool_shape if write else tile_shape,
+                   pool_shape if write else tile_shape],
+        input_output_aliases={5: 1, 6: 2} if write else {},
     )(lengths.astype(jnp.int32),
       jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
       q, k_new, v_new, cache_k, cache_v)
+    if not write:
+        return out, cache_k, cache_v
     return out, wk, wv
 
 
-def bench(layout, S, b_blk, reps=3, n1=5, n2=25):
+import os
+_NOEXP = os.environ.get("ATTN_NOEXP", "0") == "1"
+_SCALEQ = os.environ.get("ATTN_SCALEQ", "0") == "1"
+
+
+def bench(layout, S, b_blk, reps=5, inner=25, outer=6):
+    """One dispatch covers ``inner`` on-device steps (lax.fori_loop over
+    the 22-layer chain) so relay dispatch overhead amortizes — the
+    per-call harness measures the relay's dispatch rate, not the chip,
+    whenever device time/step < dispatch latency (r4 finding)."""
     rng = np.random.RandomState(0)
     shape = (B, NKV, HD, S) if layout == "bnhs" else (NKV, B, HD, S)
     pools = [(jnp.asarray(rng.standard_normal(shape), jnp.bfloat16),
@@ -127,31 +152,44 @@ def bench(layout, S, b_blk, reps=3, n1=5, n2=25):
     q0 = jnp.asarray(rng.standard_normal((B, NKV, R, HD)), jnp.bfloat16)
     kn = jnp.asarray(rng.standard_normal((B, NKV, 1, HD)), jnp.bfloat16)
     lens = jnp.full((B,), S // 2, jnp.int32)
-    fn = (da._decode_attn_bloop_w if layout == "bnhs" else attn_nbhs)
+    if layout == "bnhs":
+        fn = da._decode_attn_bloop_w
+    elif layout == "nbhs_nw":
+        fn = functools.partial(attn_nbhs, write=False)
+    else:
+        fn = attn_nbhs
 
-    def step(q, pools, pos):
-        new = []
-        for ck, cv in pools:
-            out, wk, wv = fn(q, kn, kn, ck, cv, lens, pos, b_blk)
-            new.append((wk, wv))
-            q = (out * 1e-6 + q0).astype(q.dtype)
-        return q, new
+    def many(q, pools):
+        flat = [p for kv in pools for p in kv]
 
-    f = jax.jit(step, donate_argnums=(1,))
-    q, pools = f(q0, pools, S // 2)
+        def body(i, carry):
+            q, flat = carry
+            pos = S // 2 + 1 + (i % (S // 2 - 2))
+            new = []
+            for li in range(L):
+                ck, cv = flat[2 * li], flat[2 * li + 1]
+                out, wk, wv = fn(q, kn, kn, ck, cv, lens, pos, b_blk)
+                new += [wk, wv]
+                q = (out * 1e-6 + q0).astype(q.dtype)
+            return q, new
+
+        q, flat = jax.lax.fori_loop(0, inner, body, (q, flat))
+        return q, [(flat[2 * i], flat[2 * i + 1]) for i in range(L)]
+
+    f = jax.jit(many, donate_argnums=(1,))
+    q, pools = f(q0, pools)
     np.asarray(q).ravel()[0]
     ests = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for i in range(n1):
-            q, pools = f(q, pools, S // 2 + 1 + i)
+        q, pools = f(q, pools)
         np.asarray(q).ravel()[0]
         t1 = time.perf_counter()
-        for i in range(n2):
-            q, pools = f(q, pools, S // 2 + 1 + i)
+        for _ in range(outer):
+            q, pools = f(q, pools)
         np.asarray(q).ravel()[0]
         t2 = time.perf_counter()
-        ests.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+        ests.append(((t2 - t1) - (t1 - t0)) / ((outer - 1) * inner))
     return float(np.median(ests))
 
 
