@@ -10,6 +10,7 @@ monkey-patching.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -59,7 +60,9 @@ def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
         and isinstance(w, QuantizedWeight) and w.layout in ("planes", "w8")
         and "lora_a" not in mod and mod.get("bias") is None
         and x.shape[-1] == w.in_dim
-        and (norm is None or w.in_dim == w.tile_k))
+        and (norm is None or (w.in_dim == w.tile_k
+                              and os.environ.get("ACCESSORY_NORM_FUSE",
+                                                 "1") == "1")))
     if fusible:
         return quant_matmul(
             x, w, norm_weight=None if norm is None else norm["weight"],

@@ -170,7 +170,33 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
     gh = half // group_size                    # groups per half
     for h, q8 in ((0, lo8), (1, hi8)):
         s = s_all[h * gh:(h + 1) * gh]
-        if group_dot:
+        if group_dot == "bdiag":
+            # Block-diagonal group dot: per-element VPU work is ONE
+            # int8->bf16 cast; the per-group structure rides the MXU.
+            # Build x' (gh*TM, half) where row block g holds x with only
+            # group g's columns live — one dot yields per-group partials
+            # (MXU cost is ~independent of M below 128 rows), then gh
+            # tiny (TM, TN) FMAs apply the scales post-dot in f32.
+            # Requires gh * TM <= 128 (decode m-tiles; large-m callers
+            # use the dense path). Numerics match group_dot: q exact in
+            # bf16, f32 accumulation, f32 post-scaling.
+            tm_ = x.shape[0]
+            qb = q8.astype(x.dtype)
+            xh = x[:, h * half:(h + 1) * half]          # (TM, half)
+            col_g = jax.lax.broadcasted_iota(
+                jnp.int32, (gh, tm_, half), 2) // group_size
+            row_g = jax.lax.broadcasted_iota(
+                jnp.int32, (gh, tm_, half), 0)
+            xbd = jnp.where(col_g == row_g, xh[None], 0).reshape(
+                gh * tm_, half)
+            part = jnp.dot(xbd, qb, preferred_element_type=jnp.float32)
+            part = part.reshape(gh, tm_, tn)
+            add = None
+            for g in range(gh):
+                t = part[g] * s[g:g + 1]
+                add = t if add is None else add + t
+            acc_ref[:] += add
+        elif group_dot:
             # Per-element VPU work is just the int8->bf16 cast: the scale
             # multiply moves AFTER the MXU — one (TM, TN) multiply-add per
             # group instead of one per element. The kernel is VPU-bound on
@@ -267,8 +293,14 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
     # survive in-model (headline +0.4% noise, 7B -2.5% — BENCHMARKS.md
     # round-3 attention/kernel A/Bs); "auto" applies the small-block
     # heuristic, "1" forces it everywhere
-    gd_env = os.environ.get("ACCESSORY_QMM_GROUPDOT", "0") \
-        if group_dot is None else ("1" if group_dot else "0")
+    # default "auto" (r4): conservative per-shape pick — block-diagonal
+    # post-dot scaling only where gh<=2 (w2-class shapes), measured
+    # in-model -2.3 us/call on w2 with every other slot unchanged
+    # (trace: step busy 1.439 -> 1.393 ms at the r4 headline shape)
+    gd_env = os.environ.get("ACCESSORY_QMM_GROUPDOT", "auto") \
+        if group_dot is None else (
+            group_dot if isinstance(group_dot, str)
+            else "1" if group_dot else "0")
     assert k % tk == 0 and (tk // 2) % group_size == 0, (k, tk, group_size)
     assert norm_weight is None or k == tk, "norm fusion needs K == tk"
     assert (rope_cos is None) == (not rope_style)
@@ -296,14 +328,19 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         if cand <= tn_max and npad % cand == 0:
             tn = cand
             break
+    gh_ = (tk // 2) // group_size
     if gd_env == "auto":
-        # chip A/B (exps/bench_planes_groupdot.py + end-to-end headline):
-        # post-dot per-group scaling wins where blocks are small (the
-        # unrolled per-group dots don't break DMA overlap): wqkv-shape
-        # tn=512 +12%, w2-shape gh=2 +20%; it loses ~10% on the big
-        # (tk/8, 2048) w13/wo blocks where the single fused dot pipelines
-        # better.
-        group_dot = tn <= 512 or (tk // 2) // group_size <= 2
+        # r4 clean (on-device-loop) per-shape A/B superseded the r3
+        # heuristic (whose noisy harness said small-tn wins; it doesn't:
+        # wqkv groupdot -16%). Post-dot scaling only pays when there are
+        # almost no groups per half, and there the block-diagonal form
+        # wins outright: w2-shape (tk=512, gh=2) precise 596 / loop 650 /
+        # bdiag 720 GB/s; w13 (gh=8) precise 649 > bdiag 626; wqkv tie;
+        # wo precise 625 > bdiag 582.
+        group_dot = "bdiag" if (gh_ <= 2 and gh_ * tm <= 128) else False
+    elif gd_env == "bdiag":
+        # block-diagonal group dot (see _kernel): needs gh*TM <= 128
+        group_dot = "bdiag" if gh_ * tm <= 128 else gh_ <= 2
     else:
         group_dot = gd_env == "1"
     pad_m = (-m) % tm

@@ -21,7 +21,7 @@ def _mk(k, n, gs, seed=0, act=jnp.float32):
     return qw
 
 
-@pytest.mark.parametrize("group_dot", [False, True])
+@pytest.mark.parametrize("group_dot", [False, True, "bdiag"])
 @pytest.mark.parametrize("m,k,n,gs", [(8, 512, 128, 128), (8, 1024, 256, 128),
                                       (16, 512, 256, 64), (100, 512, 384, 128)])
 def test_planes_matches_xla_reference(m, k, n, gs, group_dot):
