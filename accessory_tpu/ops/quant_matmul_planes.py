@@ -170,7 +170,7 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
     gh = half // group_size                    # groups per half
     for h, q8 in ((0, lo8), (1, hi8)):
         s = s_all[h * gh:(h + 1) * gh]
-        if group_dot == "bdiag":
+        if isinstance(group_dot, str) and group_dot.startswith("bdiag"):
             # Block-diagonal group dot: per-element VPU work is ONE
             # int8->bf16 cast; the per-group structure rides the MXU.
             # Build x' (gh*TM, half) where row block g holds x with only
@@ -181,20 +181,32 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
             # use the dense path). Numerics match group_dot: q exact in
             # bf16, f32 accumulation, f32 post-scaling.
             tm_ = x.shape[0]
+            # "bdiag" = all gh groups in one dot; "bdiag:G" = sub-dots of
+            # G groups each (hierarchical: bounds the block-diagonal MAC
+            # padding to G× while keeping per-element work at one cast)
+            gsub = gh if group_dot == "bdiag" else int(group_dot[6:])
+            gsub = min(gsub, gh)
+            span = gsub * group_size
             qb = q8.astype(x.dtype)
             xh = x[:, h * half:(h + 1) * half]          # (TM, half)
-            col_g = jax.lax.broadcasted_iota(
-                jnp.int32, (gh, tm_, half), 2) // group_size
-            row_g = jax.lax.broadcasted_iota(
-                jnp.int32, (gh, tm_, half), 0)
-            xbd = jnp.where(col_g == row_g, xh[None], 0).reshape(
-                gh * tm_, half)
-            part = jnp.dot(xbd, qb, preferred_element_type=jnp.float32)
-            part = part.reshape(gh, tm_, tn)
             add = None
-            for g in range(gh):
-                t = part[g] * s[g:g + 1]
-                add = t if add is None else add + t
+            for sub in range(gh // gsub):
+                xs = xh[:, sub * span:(sub + 1) * span]
+                if gsub > 1:
+                    col_g = jax.lax.broadcasted_iota(
+                        jnp.int32, (gsub, tm_, span), 2) // group_size
+                    row_g = jax.lax.broadcasted_iota(
+                        jnp.int32, (gsub, tm_, span), 0)
+                    xbd = jnp.where(col_g == row_g, xs[None], 0).reshape(
+                        gsub * tm_, span)
+                else:
+                    xbd = xs
+                part = jnp.dot(xbd, qb[sub * span:(sub + 1) * span],
+                               preferred_element_type=jnp.float32)
+                part = part.reshape(gsub, tm_, tn)
+                for g in range(gsub):
+                    t = part[g] * s[sub * gsub + g:sub * gsub + g + 1]
+                    add = t if add is None else add + t
             acc_ref[:] += add
         elif group_dot:
             # Per-element VPU work is just the int8->bf16 cast: the scale
@@ -338,9 +350,12 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         # bdiag 720 GB/s; w13 (gh=8) precise 649 > bdiag 626; wqkv tie;
         # wo precise 625 > bdiag 582.
         group_dot = "bdiag" if (gh_ <= 2 and gh_ * tm <= 128) else False
-    elif gd_env == "bdiag":
-        # block-diagonal group dot (see _kernel): needs gh*TM <= 128
-        group_dot = "bdiag" if gh_ * tm <= 128 else gh_ <= 2
+    elif gd_env.startswith("bdiag"):
+        # block-diagonal group dot (see _kernel): needs gsub*TM <= 128.
+        # "bdiag" = all groups per half in one dot; "bdiag:G" = sub-dots
+        # of G groups each
+        gsub = gh_ if gd_env == "bdiag" else min(int(gd_env[6:]), gh_)
+        group_dot = f"bdiag:{gsub}" if gsub * tm <= 128 else gh_ <= 2
     else:
         group_dot = gd_env == "1"
     pad_m = (-m) % tm

@@ -49,8 +49,8 @@ def build(k, n, variant):
         kw["precise"] = False
     elif variant == "groupdot":
         kw["group_dot"] = True
-    elif variant == "bdiag":
-        kw["group_dot"] = "bdiag"
+    elif variant.startswith("bdiag"):
+        kw["group_dot"] = variant
 
     def step(x, ws):
         for packed, scales, zs in ws:
