@@ -15,6 +15,7 @@ Run: PYTHONPATH=/root/repo python bench_all.py [--quick]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -354,6 +355,14 @@ def bench_train_step(name, args_kw, batch, seq_len, qpeft=False, n1=3,
     else:
         params = llama.init_params(jax.random.PRNGKey(0), args)
         trainable = None
+    if os.environ.get("ACCESSORY_TRAIN_UNROLL", "1") == "1":
+        # unrolled layer loop (r4): the layer scan's activation saves and
+        # dW accumulators full-copy their stacked buffers every iteration
+        # (trace: 26+ ms/step of bitcast_dynamic-update-slice fusions at
+        # 700M scale) — per-layer buffers remove it: 22.5k -> 24.6k tok/s,
+        # MFU 0.47 -> 0.51. Scan stays the library default (O(1) compile
+        # in depth for big L); the bench measures the fast layout.
+        params = llama.unstack_layers(params)
     params = promote_trainable_params_to_fp32(params, trainable)
     tx = make_optimizer(params, 1e-4, weight_decay=0.02, clip_norm=2.0,
                         trainable=trainable)
