@@ -66,6 +66,7 @@ def _splash_kernel(nq: int, s: int, interpret: bool):
         with jax.ensure_compile_time_eval():
             _SPLASH_CACHE[key] = jax.vmap(sk.make_splash_mha(
                 mask=mask, head_shards=1, q_seq_shards=1, block_sizes=bs,
+                residual_checkpoint_name="splash_attn_out",
                 interpret=interpret))
     return _SPLASH_CACHE[key]
 

@@ -15,4 +15,12 @@ def remat_policy(remat):
 
     if remat == "full":
         return None
-    return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # dots + the splash-attention output (named residual, see
+    # ops.flash_attention): the splash forward is a custom call the dots
+    # policy can't see, so without the name it reruns in backward —
+    # 12 extra fwd kernels/step at 700M scale (trace, r4). Saving costs
+    # b*s*nq*hd bf16 per layer (16.8 MB at the 700M bench shape).
+    return jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        jax.checkpoint_policies.save_only_these_names("splash_attn_out"),
+    )
