@@ -51,9 +51,11 @@ ACCESSORY_PAGED_KERNEL=0 run bench_sched_gather 2400 python -u bench_all.py --on
 run bench_sched_long 2400 python -u bench_all.py --only sched-long
 ACCESSORY_PAGED_KERNEL=0 run bench_sched_long_gather 2400 python -u bench_all.py --only sched-long
 
-# 10b. f16 scale storage A/B on the headline config (halves the
-# scales+zeros share of the weight stream; Mosaic f16 lowering unproven)
-ACCESSORY_SCALES_DTYPE=float16 run bench_scales_f16 1800 python -u bench.py
+# 10b. 16-bit scale storage A/B on the headline config (halves the
+# scales+zeros share of the weight stream). bfloat16: Mosaic rejects f16
+# blocks outright ("Unsupported type f16"), and r4 removed the host-side
+# f32 astype that used to mask that — f16 now fails loudly at lowering.
+ACCESSORY_SCALES_DTYPE=bfloat16 run bench_scales_bf16 1800 python -u bench.py
 
 # 11. training-step throughput/MFU (reference headline: finetune GPU-hours)
 run bench_train 2400 python -u bench_all.py --only train
