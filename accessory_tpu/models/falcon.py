@@ -174,7 +174,7 @@ def cache_axes() -> Dict[str, Tuple]:
 
 def _block(h, layer, args: FalconArgs, cos, sin, q_offset, kv_len,
            cache_k=None, cache_v=None, update_cache=False,
-           cache_ks=None, cache_vs=None):
+           cache_ks=None, cache_vs=None, attn_fn=None):
     b, sq, _ = h.shape
     d, hd = args.hidden_size, args.head_dim
     nh, nkv = args.num_attention_heads, args.kv_heads
@@ -211,6 +211,10 @@ def _block(h, layer, args: FalconArgs, cos, sin, q_offset, kv_len,
                                       cache_ks, cache_vs, q_offset)
         else:
             out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
+    elif attn_fn is not None:
+        # injected attention (parallel.context.cp_attention) — the single
+        # seam context parallelism needs (see models/llama.py)
+        out = attn_fn(q, k, v)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
     attn_out = linear(out.reshape(b, sq, d), att["dense"]["weight"],
@@ -245,6 +249,7 @@ def forward(
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cur_pos=0,
     remat: bool = False,
+    attn_fn=None,
     embeds: Optional[jnp.ndarray] = None,
 ):
     b, sq = tokens.shape
@@ -268,9 +273,13 @@ def forward(
         kv_len = None
 
     block = _block
+    if attn_fn is not None:
+        import functools as _ft
+
+        block = _ft.partial(_block, attn_fn=attn_fn)
     if remat:
         block = jax.checkpoint(
-            _block, policy=remat_policy(remat),
+            block, policy=remat_policy(remat),
             static_argnums=(2,))
 
     if cache is not None and isinstance(params["layers"], (list, tuple)):

@@ -454,7 +454,7 @@ def forward(
         block = _ft.partial(_block, attn_fn=attn_fn)
     if remat:
         block = jax.checkpoint(
-            _block, policy=remat_policy(remat),
+            block, policy=remat_policy(remat),
             static_argnums=(2,))
 
     if cache is not None and isinstance(params["layers"], (list, tuple)):

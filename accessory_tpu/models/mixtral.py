@@ -182,7 +182,7 @@ def cache_axes() -> Dict[str, Tuple]:
 
 def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
            cache_k=None, cache_v=None, moe_impl="ragged", balance=False,
-           update_cache=False, cache_ks=None, cache_vs=None):
+           update_cache=False, cache_ks=None, cache_vs=None, attn_fn=None):
     b, sq, _ = h.shape
     hd, nq, nkv = args.head_dim, args.n_heads, args.kv_heads
     att = layer["attention"]
@@ -210,6 +210,10 @@ def _block(h, layer, args: MixtralArgs, cos, sin, q_offset, kv_len,
                                       cache_ks, cache_vs, q_offset)
         else:
             out = cached_attention_t(q, k, v, cache_k, cache_v, q_offset)
+    elif attn_fn is not None:
+        # injected attention (parallel.context.cp_attention) — the single
+        # seam context parallelism needs (see models/llama.py)
+        out = attn_fn(q, k, v)
     else:
         out = attention(q, k, v, causal=True, q_offset=0)
 
@@ -240,6 +244,7 @@ def forward(
     cache: Optional[Dict[str, jnp.ndarray]] = None,
     cur_pos=0,
     remat: bool = False,
+    attn_fn=None,
     embeds: Optional[jnp.ndarray] = None,
     moe_impl: str = "ragged",
     with_aux_loss: bool = False,
@@ -272,9 +277,13 @@ def forward(
         kv_len = None
 
     block = _block
+    if attn_fn is not None:
+        import functools as _ft
+
+        block = _ft.partial(_block, attn_fn=attn_fn)
     if remat:
         block = jax.checkpoint(
-            _block, policy=remat_policy(remat),
+            block, policy=remat_policy(remat),
             static_argnums=(2, 9, 10))
 
     balance = with_aux_loss and cache is None

@@ -183,17 +183,18 @@ def main() -> None:
         _ = np.asarray(logits[0, 0, 0])
         return time.perf_counter() - t0, cache
 
-    # median of 3 two-point fits: relay/compile-service congestion moves
+    # median of 5 two-point fits: relay/compile-service congestion moves
     # identical-config runs by +-15% within minutes (r3 matrix: 4019-5542
     # tok/s on the same binary) — the median of repeated windows reports
-    # the chip, not the relay's mood
+    # the chip, not the relay's mood (5 windows cost ~1.5 s and halve the
+    # spread vs 3, r4)
     n1, n2 = 20, STEPS + 20
     fits = []
-    for _ in range(3):
+    for _ in range(5):
         t1, cache = timed(n1, cache)
         t2, cache = timed(n2, cache)
         fits.append((t2 - t1) / (n2 - n1))
-    per_step = sorted(fits)[1]
+    per_step = sorted(fits)[2]
 
     tok_s = BATCH / per_step
     # vs_baseline uses the 819 GB/s spec bandwidth; the chip's measured

@@ -110,3 +110,58 @@ def test_cp_attention_splash_branch_interpret(cp, tp):
         q, k, v, mesh=mesh, use_splash=True, interpret=True))(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_cp_with_remat_actually_injects():
+    """remat=True must not drop the injected attention (regression: the
+    checkpoint wrapper used to wrap _block instead of the bound block)."""
+    mesh = _mesh(4, 2)
+    params = llama.init_params(jax.random.PRNGKey(0), ARGS)
+    rng = np.random.RandomState(5)
+    toks = jnp.asarray(rng.randint(1, 128, (2, 64)), jnp.int32)
+
+    calls = []
+
+    def spy_attn(q, k, v):
+        calls.append(1)
+        from accessory_tpu.parallel.context import cp_attention
+        return cp_attention(q, k, v, mesh=mesh)
+
+    logits, _ = llama.forward(params, ARGS, toks, remat=True,
+                              attn_fn=spy_attn)
+    assert calls, "attn_fn was dropped under remat"
+    ref, _ = llama.forward(params, ARGS, toks)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("family", ["falcon", "internlm", "mixtral"])
+def test_cp_forward_other_families(family):
+    """The attn_fn seam exists across trainable model families."""
+    from accessory_tpu.config import FalconArgs, InternLMArgs, MixtralArgs
+    from accessory_tpu.models import falcon, internlm, mixtral
+
+    mesh = _mesh(4, 2)
+    rng = np.random.RandomState(6)
+    toks = jnp.asarray(rng.randint(1, 128, (2, 64)), jnp.int32)
+    if family == "falcon":
+        args = FalconArgs(num_layers=2, hidden_size=64,
+                          num_attention_heads=8, num_kv_heads=4,
+                          vocab_size=128, max_seq_len=64, dtype="float32")
+        mod = falcon
+    elif family == "internlm":
+        args = InternLMArgs(num_layers=2, hidden_size=64,
+                            num_attention_heads=8, vocab_size=128,
+                            max_seq_len=64, dtype="float32")
+        mod = internlm
+    else:
+        args = MixtralArgs(dim=64, n_layers=2, n_heads=8, n_kv_heads=4,
+                           hidden_dim=128, vocab_size=128, num_experts=4,
+                           max_seq_len=64, dtype="float32")
+        mod = mixtral
+    params = mod.init_params(jax.random.PRNGKey(0), args)
+    attn_fn = make_cp_attn_fn(mesh)
+    out = mod.forward(params, args, toks, attn_fn=attn_fn)
+    ref = mod.forward(params, args, toks)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=3e-5, rtol=3e-5)
