@@ -152,7 +152,8 @@ def w8_qmm(x2d, q8, scales, zs, norm_weight=None,
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
         if residual is not None:
             residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
-    pad_g = (-scales.shape[0]) % 8
+    # sublane tile is 8 rows for f32, 16 for 16-bit scale storage
+    pad_g = (-scales.shape[0]) % (8 if scales.dtype.itemsize == 4 else 16)
     if pad_g:
         scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
         zs = jnp.pad(zs, ((0, pad_g), (0, 0)))
@@ -168,7 +169,10 @@ def w8_qmm(x2d, q8, scales, zs, norm_weight=None,
         pl.BlockSpec((zs.shape[0], tn), lambda i, j, kk: (0, j),
                      memory_space=pltpu.VMEM),
     ]
-    operands = [x2d, q8, scales.astype(jnp.float32), zs.astype(jnp.float32)]
+    # scales/zs stream in their STORED dtype (bf16 via
+    # ACCESSORY_SCALES_DTYPE halves their stream share); the kernel
+    # upcasts blocks to f32 before any math (see quant_matmul_planes)
+    operands = [x2d, q8, scales, zs]
     if norm_weight is not None:
         in_specs.append(pl.BlockSpec((1, tk), lambda i, j, kk: (0, 0),
                                      memory_space=pltpu.VMEM))

@@ -88,9 +88,12 @@ for kv in (None, "int8"):
     print(f"paged kernel vs gather ({kv or 'bf16'}): max|d|={d:.4f}",
           flush=True)
     assert d < 0.05, d  # same context bytes, kernel vs XLA rounding only
-# f16/bf16 scale storage: same packed weights, f16-representable scales ->
-# the f16-stored kernel must match the f32-stored kernel on chip (Mosaic
-# f16 load + convert lowering check)
+# bf16 scale storage: same packed weights, f16-representable scales ->
+# the bf16-stored kernel must match the f32-stored kernel on chip. (r4:
+# scales now STREAM in their stored dtype — the host-side f32 astype that
+# used to mask it is gone — and Mosaic rejects f16 blocks outright
+# ("Unsupported type f16"), so f16 storage is no longer chip-runnable;
+# bf16 is the supported 16-bit option.)
 from accessory_tpu.quant.qtensor import (QuantizedWeight, quant_matmul,
                                          quantize_weight, to_planes_layout,
                                          to_w8_layout, dequantize_weight)
@@ -103,12 +106,11 @@ qw = QuantizedWeight(qw.packed, s16, qw.zeros, qw.bits, qw.group_size,
                      qw.in_dim, qw.out_dim, qw.act_dtype, qw.layout,
                      qw.tile_k)
 ref = np.asarray(quant_matmul(x, to_planes_layout(qw, scale_dtype='float32')))
-for sd in ("float16", "bfloat16"):
+for sd in ("bfloat16",):
     got = np.asarray(quant_matmul(x, to_planes_layout(qw, scale_dtype=sd)))
     d = float(np.max(np.abs(got - ref)))
     print(f"planes scales {sd}: max|d|={d:.5f}", flush=True)
-    tol = 0.02 if sd == "float16" else 0.15
-    assert d < tol, (sd, d)
+    assert d < 0.15, (sd, d)
 
 # W8A16 kernel vs XLA dequant reference on chip
 qw8 = quantize_weight(w, bits=8, group_size=128)
@@ -119,4 +121,4 @@ print(f"w8 kernel rel|d|={d8:.5f}", flush=True)
 assert d8 < 0.02, d8
 
 print("VERIFY OK: int8 KV + rope fuse + paged (kernel+gather) + "
-      "f16-scales + w8 on", jax.default_backend())
+      "bf16-scales + w8 on", jax.default_backend())
