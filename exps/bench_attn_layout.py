@@ -9,6 +9,21 @@ dots, fused aliased column write) on both layouts in one process,
 22-layer chains, interleaved windows.
 
 Usage: python exps/bench_attn_layout.py [pairs] [S]
+
+r4 CONCLUSIONS (all chip-measured with the on-device fori_loop):
+  - pure-DMA floor for the 22-layer pool read: 0.176 ms (1047 GB/s,
+    contiguous nbhs blocks) / 0.247 (bnhs).
+  - ANY real-compute kernel floors at ~0.35 ms regardless of layout,
+    b_blk (8 > 2 > 1), fused-write removal, exp removal, q-prescale, or
+    phase-splitting (all dots first, one batched softmax, output dots) —
+    the phased variant is bit-exact and NOT faster, so Mosaic already
+    pipelines the per-b iterations; the ~0.5 us/(b,h) floor is the
+    softmax instruction chain + MXU feed itself.
+  - nbhs (contiguous) layout is worth ~+6% on the kernel (DMA slightly
+    over compute on bnhs); not taken — cache-layout surgery across the
+    decode/write/int8/paged stack for ~1.4% end-to-end.
+  - int8 KV halves both the DMA and the VPU feed per context byte and is
+    already the shipped answer where attention dominates (4k ctx +19%).
 """
 
 import functools
@@ -48,7 +63,11 @@ def _kernel_nbhs(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
         q = q_ref[b, 0]
         kc = kc_ref[0, b]
         vc = vc_ref[0, b]
-        if _SCALEQ:
+        if _NODOT:
+            s_old = (jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+                     + jnp.sum(kc.astype(jnp.float32), axis=0,
+                               keepdims=True)) * scale
+        elif _SCALEQ:
             s_old = jax.lax.dot_general(
                 (q.astype(jnp.float32) * scale).astype(q.dtype), kc,
                 (((1,), (0,)), ((), ())),
@@ -71,9 +90,13 @@ def _kernel_nbhs(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
             p_old = jnp.exp(s_old - m)
             p_new = jnp.exp(s_new - m)
         denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
-        out = jax.lax.dot_general(
-            p_old.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        if _NODOT:
+            out = (jnp.sum(p_old, axis=1, keepdims=True)
+                   + jnp.sum(vc.astype(jnp.float32), axis=1)[None, :])
+        else:
+            out = jax.lax.dot_general(
+                p_old.astype(vc.dtype), vc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
         out = out + p_new * vn[None, :]
         out_ref[b, 0] = (out / denom).astype(out_ref.dtype)
         wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
@@ -83,6 +106,111 @@ def _kernel_nbhs(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
                                    oldk).astype(outk_ref.dtype)
         outv_ref[0, b] = jnp.where(wmask, vn[:, None],
                                    oldv).astype(outv_ref.dtype)
+
+
+def _kernel_nbhs_phased(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
+                        vc_ref, out_ref, outk_ref, outv_ref, s_scr):
+    """Phase-split variant: all score dots first (scratch), ONE batched
+    masked-softmax over (b_blk*R, S), then all output dots — lets the MXU
+    dots of iteration b+1 overlap the VPU softmax of iteration b."""
+    Bb = q_ref.shape[0]
+    base = pl.program_id(1) * Bb
+    hd = q_ref.shape[3]
+    R = q_ref.shape[2]
+    S = kc_ref.shape[3]
+    scale = hd ** -0.5
+    pos = pos_ref[0]
+    tile0 = pl.multiple_of((pos // 128) * 128, 128)
+    col = jax.lax.rem(pos, 128)
+    prec = None
+    # phase 1: scores
+    for b in range(Bb):
+        q = q_ref[b, 0]
+        s_scr[b * R:(b + 1) * R, :] = jax.lax.dot_general(
+            q, kc_ref[0, b], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) * scale
+    # phase 2: one batched masked softmax (rows grouped per b)
+    lens_rows = jnp.concatenate(
+        [jnp.full((R, 1), lens_ref[base + b], jnp.int32)
+         for b in range(Bb)], axis=0)                       # (Bb*R, 1)
+    sc = s_scr[:, :]
+    mask = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1) < lens_rows
+    sc = jnp.where(mask, sc, NEG_INF)
+    kn_all = jnp.concatenate(
+        [jnp.broadcast_to(kn_ref[b, 0, 0].astype(jnp.float32)[None],
+                          (R, hd)) for b in range(Bb)], axis=0)
+    q_all = jnp.concatenate([q_ref[b, 0] for b in range(Bb)],
+                            axis=0).astype(jnp.float32)
+    s_new = jnp.sum(q_all * kn_all, axis=1, keepdims=True) * scale
+    m = jnp.maximum(jnp.max(sc, axis=1, keepdims=True), s_new)
+    p_old = jnp.exp(sc - m)
+    p_new = jnp.exp(s_new - m)
+    denom = jnp.sum(p_old, axis=1, keepdims=True) + p_new
+    pb = p_old.astype(kc_ref.dtype)
+    s_scr[:, :] = pb.astype(jnp.float32)
+    # phase 3: output dots + write
+    for b in range(Bb):
+        vc = vc_ref[0, b]
+        out = jax.lax.dot_general(
+            s_scr[b * R:(b + 1) * R, :].astype(vc.dtype), vc,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        vn = vn_ref[b, 0, 0].astype(jnp.float32)
+        kn = kn_ref[b, 0, 0].astype(jnp.float32)
+        out = out + p_new[b * R:(b + 1) * R] * vn[None, :]
+        out_ref[b, 0] = (out / denom[b * R:(b + 1) * R]).astype(
+            out_ref.dtype)
+        wmask = jax.lax.broadcasted_iota(jnp.int32, (hd, 128), 1) == col
+        oldk = kc_ref[0, b, :, pl.ds(tile0, 128)].astype(jnp.float32)
+        oldv = vc_ref[0, b, :, pl.ds(tile0, 128)].astype(jnp.float32)
+        outk_ref[0, b] = jnp.where(wmask, kn[:, None],
+                                   oldk).astype(outk_ref.dtype)
+        outv_ref[0, b] = jnp.where(wmask, vn[:, None],
+                                   oldv).astype(outv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("b_blk",))
+def attn_nbhs_phased(q, k_new, v_new, cache_k, cache_v, lengths, pos, b_blk):
+    b, nkv, r, hd = q.shape
+    S = cache_k.shape[3]
+    head_q = lambda j, i, lens, p: (i, j, 0, 0)
+    head_c = lambda j, i, lens, p: (j, i, 0, 0)
+    tile = lambda j, i, lens, p: (j, i, 0, p[0] // 128)
+    pool_shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    out, wk, wv = pl.pallas_call(
+        _kernel_nbhs_phased,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nkv, b // b_blk),
+            in_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b_blk, 1, 1, hd), head_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_blk, hd, S), head_c,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_blk, hd, S), head_c,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((b_blk, 1, r, hd), head_q,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_blk, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b_blk, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((b_blk * r, S), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+                   pool_shape, pool_shape],
+        input_output_aliases={5: 1, 6: 2},
+    )(lengths.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      q, k_new, v_new, cache_k, cache_v)
+    return out, wk, wv
 
 
 @functools.partial(jax.jit, static_argnames=("b_blk", "write"))
@@ -137,6 +265,7 @@ def attn_nbhs(q, k_new, v_new, cache_k, cache_v, lengths, pos, b_blk,
 import os
 _NOEXP = os.environ.get("ATTN_NOEXP", "0") == "1"
 _SCALEQ = os.environ.get("ATTN_SCALEQ", "0") == "1"
+_NODOT = os.environ.get("ATTN_NODOT", "0") == "1"
 
 
 def bench(layout, S, b_blk, reps=5, inner=25, outer=6):
@@ -156,6 +285,8 @@ def bench(layout, S, b_blk, reps=5, inner=25, outer=6):
         fn = da._decode_attn_bloop_w
     elif layout == "nbhs_nw":
         fn = functools.partial(attn_nbhs, write=False)
+    elif layout == "nbhs_ph":
+        fn = attn_nbhs_phased
     else:
         fn = attn_nbhs
 
