@@ -52,8 +52,11 @@ def _splash_kernel(nq: int, s: int, interpret: bool):
         from jax.experimental.pallas.ops.tpu.splash_attention import (
             splash_attention_kernel as sk, splash_attention_mask as sm)
 
-        bq = min(256, s)
-        bkv = min(512, s)
+        # biggest block that DIVIDES the (128-multiple) padded length —
+        # min(256, s) crashed on 128-multiple-but-not-256 lengths like the
+        # SPHINX multimodal prefill's 384 (q_block_size must divide s)
+        bq = next(b for b in (256, 128) if s % b == 0)
+        bkv = next(b for b in (512, 256, 128) if s % b == 0)
         mask = sm.MultiHeadMask([sm.CausalMask((s, s)) for _ in range(nq)])
         bs = sk.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkv,
                            block_q_dkv=bq, block_kv_dkv=bkv,

@@ -52,3 +52,14 @@ def test_splash_grads_flow():
             *a, causal=True, interpret=True), q, k, v))(q)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_splash_384_block_divisibility():
+    """128-multiple-but-not-256 length (SPHINX prefill's 384): the block
+    size must divide the padded length — regression for the
+    q_block_size=256-vs-384 crash found on chip (r4)."""
+    q, k, v = _mk(s=384, seed=5)
+    want = attention(q, k, v, causal=True)
+    got = flash_attention_tpu(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
