@@ -23,6 +23,7 @@ fp32, logits fp32 (llama.py:427).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
@@ -447,11 +448,8 @@ def forward(
                            args.kv_heads, args.head_dim, args.rope_style)
         rope_t = (cr, sr, args.rope_style, args.head_dim)
 
-    block = _block
-    if attn_fn is not None:
-        import functools as _ft
-
-        block = _ft.partial(_block, attn_fn=attn_fn)
+    block = _block if attn_fn is None else functools.partial(
+        _block, attn_fn=attn_fn)
     if remat:
         block = jax.checkpoint(
             block, policy=remat_policy(remat),

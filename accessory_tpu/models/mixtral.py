@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -276,11 +278,8 @@ def forward(
         cos, sin = cos_full[:sq], sin_full[:sq]
         kv_len = None
 
-    block = _block
-    if attn_fn is not None:
-        import functools as _ft
-
-        block = _ft.partial(_block, attn_fn=attn_fn)
+    block = _block if attn_fn is None else functools.partial(
+        _block, attn_fn=attn_fn)
     if remat:
         block = jax.checkpoint(
             block, policy=remat_policy(remat),

@@ -41,6 +41,23 @@ def flash_available(q_len: int, kv_len: int, causal: bool, head_dim: int) -> boo
 _SPLASH_CACHE = {}
 
 
+def splash_block_sizes(s_q: int, s_kv: int):
+    """Largest blocks that DIVIDE the (128-multiple) padded lengths —
+    min(256, s) crashed on 128-multiple-but-not-256 lengths like the
+    SPHINX multimodal prefill's 384 (q_block_size must divide s). Shared
+    by the self-attention kernel and the context-parallel variant so the
+    divisibility rule can't drift between them (r4 review)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk)
+
+    bq = next(b for b in (256, 128) if s_q % b == 0)
+    bkv = next(b for b in (512, 256, 128) if s_kv % b == 0)
+    return sk.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+                         block_q_dkv=bq, block_kv_dkv=bkv,
+                         block_kv_dkv_compute=bkv,
+                         block_q_dq=bq, block_kv_dq=bkv)
+
+
 def _splash_kernel(nq: int, s: int, interpret: bool):
     """Cached splash-attention kernel for (q_heads, padded_seq). Splash
     (the newer bundled TPU kernel) beats the legacy flash kernel ~2x at
@@ -52,16 +69,8 @@ def _splash_kernel(nq: int, s: int, interpret: bool):
         from jax.experimental.pallas.ops.tpu.splash_attention import (
             splash_attention_kernel as sk, splash_attention_mask as sm)
 
-        # biggest block that DIVIDES the (128-multiple) padded length —
-        # min(256, s) crashed on 128-multiple-but-not-256 lengths like the
-        # SPHINX multimodal prefill's 384 (q_block_size must divide s)
-        bq = next(b for b in (256, 128) if s % b == 0)
-        bkv = next(b for b in (512, 256, 128) if s % b == 0)
         mask = sm.MultiHeadMask([sm.CausalMask((s, s)) for _ in range(nq)])
-        bs = sk.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkv,
-                           block_q_dkv=bq, block_kv_dkv=bkv,
-                           block_kv_dkv_compute=bkv,
-                           block_q_dq=bq, block_kv_dq=bkv)
+        bs = splash_block_sizes(s, s)
         # the kernel object caches mask-info arrays; build them eagerly —
         # created under an active trace they'd be tracers, and the cache
         # would leak them into later traces (chip repro: second jit using

@@ -351,10 +351,15 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
         # wo precise 625 > bdiag 582.
         group_dot = "bdiag" if (gh_ <= 2 and gh_ * tm <= 128) else False
     elif gd_env.startswith("bdiag"):
-        # block-diagonal group dot (see _kernel): needs gsub*TM <= 128.
+        # block-diagonal group dot (see _kernel): needs gsub*TM <= 128 and
+        # gsub | gh (the sub-dot loop covers gh//gsub spans — a
+        # non-dividing G would silently drop the remainder groups).
         # "bdiag" = all groups per half in one dot; "bdiag:G" = sub-dots
-        # of G groups each
-        gsub = gh_ if gd_env == "bdiag" else min(int(gd_env[6:]), gh_)
+        # of G groups each, G lowered to the nearest divisor of gh
+        gsub = gh_ if gd_env == "bdiag" else max(1, min(int(gd_env[6:]),
+                                                        gh_))
+        while gh_ % gsub:
+            gsub -= 1
         group_dot = f"bdiag:{gsub}" if gsub * tm <= 128 else gh_ <= 2
     else:
         group_dot = gd_env == "1"

@@ -52,21 +52,22 @@ def _splash_cp_kernel(nq: int, s_global: int, cp: int, tp: int,
         from jax.experimental.pallas.ops.tpu.splash_attention import (
             splash_attention_kernel as sk, splash_attention_mask as sm)
 
-        s_local = s_global // cp
-        bq = min(256, s_local)
-        bkv = min(512, s_global)
+        from accessory_tpu.ops.flash_attention import splash_block_sizes
+
         mask = sm.MultiHeadMask(
             [sm.CausalMask((s_global, s_global)) for _ in range(nq)])
-        bs = sk.BlockSizes(block_q=bq, block_kv=bkv, block_kv_compute=bkv,
-                           block_q_dkv=bq, block_kv_dkv=bkv,
-                           block_kv_dkv_compute=bkv,
-                           block_q_dq=bq, block_kv_dq=bkv)
+        # per-shard q length is s_global/cp — blocks must divide IT
+        bs = splash_block_sizes(s_global // cp, s_global)
         # eager mask-info build — under an active trace the cached kernel
-        # would capture tracers (see ops.flash_attention._splash_kernel)
+        # would capture tracers (see ops.flash_attention._splash_kernel);
+        # residual name lets the dots remat policy save the output
+        # instead of rerunning the forward in backward (util.remat_policy)
         with jax.ensure_compile_time_eval():
             kernel = sk.make_splash_mha(
                 mask=mask, head_shards=tp, q_seq_shards=cp,
-                block_sizes=bs, interpret=interpret)
+                block_sizes=bs,
+                residual_checkpoint_name="splash_attn_out",
+                interpret=interpret)
         spec = kernel.manual_sharding_spec(NamedSharding(
             mesh, P(tp_axis if tp > 1 else None, cp_axis)))
         _CP_KERNEL_CACHE[key] = (kernel, spec)

@@ -194,13 +194,21 @@ def to_magic_layout(qw: QuantizedWeight) -> QuantizedWeight:
 
 def _scale_store_dtype(scale_dtype):
     """Resolve the on-HBM dtype for scales/folded-zeros. f32 (default) is
-    exact; f16 halves the 12.5% scales+zeros share of the weight stream
-    (GPTQ checkpoints ship f16 scales, so f16 storage is lossless for
-    imports) — gate via ACCESSORY_SCALES_DTYPE until the Mosaic f16
-    lowering is chip-verified."""
+    exact; bfloat16 halves the 12.5% scales+zeros share of the weight
+    stream (the kernels upcast blocks to f32 before any math). float16 is
+    NOT supported: since r4 the kernels stream scales in their stored
+    dtype and Mosaic rejects f16 blocks outright ("Unsupported type
+    f16") — fail here with a clear message instead of at kernel lowering.
+    Gate via ACCESSORY_SCALES_DTYPE."""
     if scale_dtype is None:
         scale_dtype = os.environ.get("ACCESSORY_SCALES_DTYPE", "float32")
-    return jnp.dtype(scale_dtype)
+    dt = jnp.dtype(scale_dtype)
+    if dt == jnp.float16:
+        raise ValueError(
+            "ACCESSORY_SCALES_DTYPE=float16 is not supported: quant "
+            "kernels stream scales in their stored dtype and Mosaic has "
+            "no f16 lowering — use bfloat16 (or the float32 default)")
+    return dt
 
 
 def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048,

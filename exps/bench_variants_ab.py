@@ -24,7 +24,9 @@ from accessory_tpu.models import llama
 from accessory_tpu.quant import fuse
 
 VARIANTS = {
-    "base": {},
+    # "auto" became the planes-kernel DEFAULT in r4 — pin the old default
+    # explicitly or the A/B measures identical kernels
+    "base": {"ACCESSORY_QMM_GROUPDOT": "0"},
     "auto": {"ACCESSORY_QMM_GROUPDOT": "auto"},
 }
 

@@ -283,13 +283,22 @@ def _mk_w8(k, n, gs, seed=0):
                                         act_dtype=jnp.float32))
 
 
-@pytest.mark.parametrize("sd", ["float16", "bfloat16"])
+def test_scale_store_dtype_rejects_f16():
+    """Since r4 the kernels stream scales in their stored dtype and Mosaic
+    has no f16 lowering — requesting float16 storage must fail loudly at
+    layout time, not at kernel lowering."""
+    from accessory_tpu.quant.qtensor import _scale_store_dtype
+
+    with pytest.raises(ValueError, match="float16"):
+        _scale_store_dtype("float16")
+
+
+@pytest.mark.parametrize("sd", ["bfloat16"])
 def test_planes_f16_scales_numerics(sd):
-    """f16/bf16 scale storage (ACCESSORY_SCALES_DTYPE): kernel math stays
+    """bf16 scale storage (ACCESSORY_SCALES_DTYPE): kernel math stays
     f32, so the only delta vs f32 storage is the scale rounding itself.
-    When the weight is quantized against f16-representable scales (GPTQ
-    checkpoints ship f16), storage is lossless and outputs match the f32-
-    stored kernel exactly."""
+    (f16 storage is rejected — Mosaic has no f16 lowering; see
+    test_scale_store_dtype_rejects_f16.)"""
     qw = _mk(512, 256, 128)
     # make scales exactly representable in the storage dtype
     s16 = qw.scales.astype(jnp.dtype(sd)).astype(jnp.float32)
