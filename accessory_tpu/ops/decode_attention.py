@@ -366,6 +366,16 @@ def cached_attention_t(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    # STATIC pos==0 full prefill: nothing valid in the cache, so this is
+    # plain causal self-attention — dispatch to the flash/splash path
+    # instead of the O(L^2) two-part-softmax einsums (r4 TTFT trace: the
+    # cached-prefill XLA path was ~50 ms of the 118 ms 2048-token
+    # prefill; splash does the same work in ~6)
+    if isinstance(pos, int) and pos == 0 and sq > 1:
+        from accessory_tpu.ops.attention import attention
+
+        return attention(q, k_new, v_new, causal=True, q_offset=0)
     if sq == 1 and hd % 8 == 0 and S % 128 == 0:
         qg = q.reshape(b, nkv, n_rep, hd)
         kn = k_new.reshape(b, nkv, 1, hd)
