@@ -324,6 +324,19 @@ def _kernel_qmm_impl(aux, x2d, packed, scales, zeros):
     bits, g, in_dim, out_dim, adt_name, layout, tk = aux
     interp = jax.default_backend() != "tpu"
     if layout == "planes":
+        # LARGE-m calls (prefill/training fwd): the decode kernel
+        # re-unpacks W per m-tile (m/128 redundant VPU dequants); the
+        # weight-stationary bigm kernel dequantizes each block ONCE into
+        # a VMEM scratch and reuses it across m-tiles — chip A/B (r4):
+        # +14% at m=2048 w13-shape, +26% at m=4096 7B-w13-shape, never
+        # slower. Sits inside the custom_vjp so QPEFT backward still
+        # flows through the XLA dequant transpose.
+        bigm = int(os.environ.get("ACCESSORY_QMM_BIGM", "1024"))
+        if bigm and x2d.shape[0] >= bigm:
+            from accessory_tpu.ops.quant_matmul_bigm import planes_qmm_bigm
+
+            return planes_qmm_bigm(x2d, packed, scales, zeros,
+                                   group_size=g, tk=tk, interpret=interp)
         from accessory_tpu.ops.quant_matmul_planes import planes_qmm
 
         return planes_qmm(x2d, packed, scales, zeros, group_size=g, tk=tk,
@@ -405,11 +418,10 @@ def quant_matmul(x: jnp.ndarray, qw: QuantizedWeight, use_pallas: Optional[bool]
         x2d = x.reshape(-1, qw.in_dim).astype(qw.act_dtype)
         res2d = (None if residual is None
                  else residual.reshape(-1, qw.out_dim))
-        # LARGE-m calls (prefill/training): the kernel re-unpacks W per
-        # m-tile (m/128 redundant VPU dequants); above the threshold,
-        # dequantize once and run a plain MXU dot. Off by default until
-        # the crossover is measured on-chip (ACCESSORY_QMM_DENSE_M=512
-        # is the expected regime).
+        # ACCESSORY_QMM_DENSE_M: XLA dequant-once + dense dot (kept for
+        # A/Bs; measured slower than both Pallas paths on chip). LARGE-m
+        # calls otherwise dispatch to the weight-stationary bigm kernel
+        # inside _kernel_qmm_impl (keeps the custom_vjp for QPEFT).
         dense_m = int(os.environ.get("ACCESSORY_QMM_DENSE_M", "0"))
         if dense_m and x2d.shape[0] >= dense_m:
             return _dense_fused(x, dense_weight(qw), norm_weight, norm_eps,
