@@ -342,14 +342,16 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
             break
     gh_ = (tk // 2) // group_size
     if gd_env == "auto":
-        # r4 clean (on-device-loop) per-shape A/B superseded the r3
+        # r4 clean (on-device-loop) per-shape A/Bs superseded the r3
         # heuristic (whose noisy harness said small-tn wins; it doesn't:
-        # wqkv groupdot -16%). Post-dot scaling only pays when there are
-        # almost no groups per half, and there the block-diagonal form
-        # wins outright: w2-shape (tk=512, gh=2) precise 596 / loop 650 /
-        # bdiag 720 GB/s; w13 (gh=8) precise 649 > bdiag 626; wqkv tie;
-        # wo precise 625 > bdiag 582.
-        group_dot = "bdiag" if (gh_ <= 2 and gh_ * tm <= 128) else False
+        # wqkv groupdot -16%). The block-diagonal form wins when gh <= 2
+        # (w2-shape 596→720 GB/s) OR when the call has >= 2 k-steps to
+        # hide the M=gh*TM dot latency behind (7B shapes, nk=2:
+        # wo 571→650, w13 581→600); the fused f32 multiply wins only at
+        # nk == 1 with gh > 2 (TinyLlama wo 625 > 582, w13 649 > 626).
+        bd_ok = gh_ * tm <= 128
+        group_dot = "bdiag" if bd_ok and (gh_ <= 2 or k // tk >= 2) \
+            else False
     elif gd_env.startswith("bdiag"):
         # block-diagonal group dot (see _kernel): needs gsub*TM <= 128 and
         # gsub | gh (the sub-dot loop covers gh//gsub spans — a
