@@ -430,11 +430,23 @@ def planes_qmm(x2d, packed_planes, scales, zs, norm_weight=None,
     return out[:m, :n] if (pad_m or pad_n) else out
 
 
-def choose_tile_k(in_dim: int, group_size: int, max_tk: int = 2048) -> int:
+def choose_tile_k(in_dim: int, group_size: int, max_tk: int = 2048,
+                  out_dim: int | None = None) -> int:
     """Largest K-tile <= max_tk with (tk/2) % group_size == 0 dividing
-    in_dim (tk2048 measured best on the v1 kernel; same regime here)."""
+    in_dim (tk2048 measured best on the v1 kernel; same regime here).
+
+    With ``out_dim`` given: when the whole reduction fits one tile
+    (nk == 1) and the output tiles would stay >= 1024 lanes after
+    halving, prefer TWO k-tiles — the bdiag path's block-diagonal dot
+    latency then hides behind the second tile's DMA (r4 chip A/B at the
+    headline shapes: w13 647 -> 726 GB/s, wo 741 -> 789 at tk 2048 ->
+    1024+bdiag; wqkv-shape (tn 512) LOSES, hence the width guard)."""
     tk = 2 * group_size
     while in_dim % (2 * tk) == 0 and 2 * tk <= max_tk:
         tk *= 2
     assert in_dim % tk == 0, (in_dim, tk)
+    if (out_dim is not None and tk == in_dim and tk > 2 * group_size
+            and (tk // 4) % group_size == 0
+            and (out_dim + (-out_dim) % 128) % 1024 == 0):
+        tk //= 2
     return tk

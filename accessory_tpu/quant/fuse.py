@@ -90,6 +90,14 @@ def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
     out["layers"] = layers
     import os
 
+    # width-aware k-tile retiling (r4): with the FINAL call widths known
+    # (post-fusion), single-k-tile weights whose output tiles stay >=1024
+    # lanes repack to TWO k-tiles so the bdiag dequant's dot latency
+    # hides behind the second tile's DMA (chip A/B: w13 647->726 GB/s,
+    # wo 741->789; wqkv keeps tk 2048 — its fused width 2560 pads to
+    # 512-lane tiles, where halving loses)
+    if os.environ.get("ACCESSORY_RETILE", "1") == "1":
+        out = retile_for_decode(out)
     # Default OFF — measured SLOWER on chip (r4 interleaved A/B, 14 pairs:
     # -2.7% median). The pad/convert kernels this removes turn out to be
     # net-positive: their per-step outputs are placed in alternate memory
@@ -99,6 +107,65 @@ def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
     if os.environ.get("ACCESSORY_KERNEL_PREP", "0") == "1":
         out = kernel_prep(out)
     return out
+
+
+def _replan_tiles_np(packed, in_dim: int, tk_old: int, tk_new: int):
+    """Numpy re-tiling of planes-packed words: recover the per-row
+    nibbles from the tk_old tile order, re-emit in tk_new order. Inverse
+    of repack_for_planes' within-tile layout: tile row t (half h = t >=
+    tk/2, r = t - h*tk/2) lives in word w = r // 4, byte b = r % 4,
+    nibble lo/hi by h."""
+    import numpy as np
+
+    k, n = in_dim, packed.shape[-1]
+    w = np.asarray(packed).reshape(k // tk_old, tk_old // 8, n)
+    q = np.empty((k // tk_old, tk_old, n), np.uint8)
+    half = tk_old // 2
+    for b in range(4):
+        byte = (w >> np.uint32(8 * b)).astype(np.uint32)
+        # word rows r*4+b -> lo rows, hi rows
+        q[:, b:half:4] = (byte & 0xF).astype(np.uint8)[:, :]
+        q[:, half + b::4] = ((byte >> 4) & 0xF).astype(np.uint8)[:, :]
+    q = q.reshape(k, n)
+    t = q.astype(np.uint32).reshape(k // tk_new, 2, tk_new // 2, n)
+    lo, hi = t[:, 0], t[:, 1]
+    lo = lo.reshape(-1, tk_new // 8, 4, n)
+    hi = hi.reshape(-1, tk_new // 8, 4, n)
+    shifts = (np.arange(4, dtype=np.uint32) * 8)[None, None, :, None]
+    words = np.bitwise_or.reduce(lo << shifts, axis=2) | \
+        np.bitwise_or.reduce(hi << (shifts + 4), axis=2)
+    return words.reshape(k // 8, n)
+
+
+def retile_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Repack planes-layout weights to the decode-optimal k-tile for
+    their (post-fusion) call width. One-time host-side numpy; scales and
+    zeros are tile-independent (group structure unchanged)."""
+    import dataclasses
+
+    import numpy as np
+
+    from accessory_tpu.ops.quant_matmul_planes import choose_tile_k
+
+    def visit(x):
+        if not (isinstance(x, QuantizedWeight) and x.layout == "planes"):
+            return x
+        want = choose_tile_k(x.in_dim, x.group_size, out_dim=x.out_dim)
+        if want == x.tile_k:
+            return x
+        if x.packed.ndim == 3:  # stacked layers: retile each slice
+            repacked = np.stack([
+                _replan_tiles_np(x.packed[i], x.in_dim, x.tile_k, want)
+                for i in range(x.packed.shape[0])])
+        else:
+            repacked = _replan_tiles_np(x.packed, x.in_dim, x.tile_k, want)
+        return dataclasses.replace(x, packed=jnp.asarray(
+            repacked.astype(np.uint32)), tile_k=want)
+
+    import jax
+
+    return jax.tree.map(visit, params,
+                        is_leaf=lambda x: isinstance(x, QuantizedWeight))
 
 
 def _align_scale_rows(qw: QuantizedWeight) -> QuantizedWeight:

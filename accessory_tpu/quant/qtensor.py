@@ -220,6 +220,10 @@ def to_planes_layout(qw: QuantizedWeight, max_tk: int = 2048,
         choose_tile_k, repack_for_planes)
 
     assert qw.layout == "std" and qw.bits == 4
+    # NOTE: out_dim is NOT passed here — per-leaf width-aware retiling
+    # would give wq (tk 1024) and wk/wv (tk 2048) mismatched tile_k and
+    # silently break wqkv fusion; quant.fuse.fuse_for_decode retiles
+    # AFTER fusing, when the final call widths are known.
     tk = choose_tile_k(qw.in_dim, qw.group_size, max_tk)
     if qw.packed.ndim == 3:  # stacked layers
         L = qw.packed.shape[0]
