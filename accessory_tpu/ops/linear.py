@@ -55,8 +55,18 @@ def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
     from accessory_tpu.quant.qtensor import QuantizedWeight, quant_matmul
 
     w = mod.get("weight")
+    # kernel-epilogue fusions pay at DECODE (launch-bound, m=batch); at
+    # large m they'd pin the call to the per-m-tile decode kernel and
+    # miss the weight-stationary bigm path (r4 review) — route large-m
+    # calls to the unfused composition (XLA norm/rope/residual fuse fine
+    # at those shapes) so quant_matmul's m-threshold dispatch applies
+    m_rows = 1
+    for d in x.shape[:-1]:
+        m_rows *= d
+    bigm_t = int(os.environ.get("ACCESSORY_QMM_BIGM", "1024"))
     fusible = (
         allow_fused
+        and (not bigm_t or m_rows < bigm_t)
         and isinstance(w, QuantizedWeight) and w.layout in ("planes", "w8")
         and "lora_a" not in mod and mod.get("bias") is None
         and x.shape[-1] == w.in_dim

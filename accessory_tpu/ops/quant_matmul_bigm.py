@@ -39,6 +39,14 @@ _NIBBLE_MASK = 0x0F0F0F0F
 _WDEQ_BYTES = 6 * 1024 * 1024
 
 
+def bigm_supported(in_dim: int) -> bool:
+    """Even the narrowest (K, 128) bf16 scratch must fit the budget —
+    beyond that (K > ~24k, e.g. the 70B w2's 28672) callers must stay on
+    the per-m-tile decode kernel (the r4 review caught the unguarded
+    floor)."""
+    return in_dim * 128 * 2 <= _WDEQ_BYTES
+
+
 def _kernel(x_ref, packed_ref, scales_ref, zs_ref, out_ref, acc_ref,
             wdeq_ref, *, group_size: int, tk: int):
     j, im, kk = pl.program_id(0), pl.program_id(1), pl.program_id(2)

@@ -72,12 +72,11 @@ def rotate_lanes(acc, cos_row, sin_row, rope_style: str, rope_hd: int):
     return acc * cos_row + partner * sin_row
 
 
-def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
-    """Std little-endian packing (qtensor.pack_int) -> per-tile nibble-plane
-    order. Host-side numpy, fully vectorized, one-time at load."""
-    from accessory_tpu.quant.qtensor import unpack_int
-
-    q = np.asarray(unpack_int(jnp.asarray(packed_std), 4, in_dim))  # (K, N)
+def pack_tile_words(q, tk: int):
+    """Numpy nibble rows (K, N) uint -> planes word order (K/8, N) u32 for
+    k-tiles of size tk (the single source of the within-tile layout; the
+    kernel docstring describes it). Shared by repack_for_planes and the
+    fuse-time retiler (quant.fuse._replan_tiles_np)."""
     k, n = q.shape
     assert k % tk == 0 and tk % 8 == 0, (k, tk)
     q = q.astype(np.uint32).reshape(k // tk, 2, tk // 2, n)
@@ -87,7 +86,30 @@ def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
     shifts = (np.arange(4, dtype=np.uint32) * 8)[None, None, :, None]
     words = np.bitwise_or.reduce(lo << shifts, axis=2) | \
         np.bitwise_or.reduce(hi << (shifts + 4), axis=2)
-    return jnp.asarray(words.reshape(k // 8, n))
+    return words.reshape(k // 8, n)
+
+
+def unpack_tile_words(words, in_dim: int, tk: int):
+    """Numpy inverse of pack_tile_words: planes word order -> nibble rows
+    (K, N) uint8."""
+    k, n = in_dim, words.shape[-1]
+    w = np.asarray(words).reshape(k // tk, tk // 8, n)
+    q = np.empty((k // tk, tk, n), np.uint8)
+    half = tk // 2
+    for b in range(4):
+        byte = (w >> np.uint32(8 * b)).astype(np.uint32)
+        q[:, b:half:4] = (byte & 0xF).astype(np.uint8)
+        q[:, half + b::4] = ((byte >> 4) & 0xF).astype(np.uint8)
+    return q.reshape(k, n)
+
+
+def repack_for_planes(packed_std, in_dim: int, tk: int) -> jnp.ndarray:
+    """Std little-endian packing (qtensor.pack_int) -> per-tile nibble-plane
+    order. Host-side numpy, fully vectorized, one-time at load."""
+    from accessory_tpu.quant.qtensor import unpack_int
+
+    q = np.asarray(unpack_int(jnp.asarray(packed_std), 4, in_dim))  # (K, N)
+    return jnp.asarray(pack_tile_words(q, tk))
 
 
 def unpack_planes(packed_planes: jnp.ndarray, in_dim: int, tk: int,

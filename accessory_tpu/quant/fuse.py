@@ -111,30 +111,14 @@ def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
 
 def _replan_tiles_np(packed, in_dim: int, tk_old: int, tk_new: int):
     """Numpy re-tiling of planes-packed words: recover the per-row
-    nibbles from the tk_old tile order, re-emit in tk_new order. Inverse
-    of repack_for_planes' within-tile layout: tile row t (half h = t >=
-    tk/2, r = t - h*tk/2) lives in word w = r // 4, byte b = r % 4,
-    nibble lo/hi by h."""
-    import numpy as np
+    nibbles from the tk_old tile order, re-emit in tk_new order (both
+    halves of the round trip share quant_matmul_planes'
+    pack/unpack_tile_words — single source of the tile layout)."""
+    from accessory_tpu.ops.quant_matmul_planes import (pack_tile_words,
+                                                       unpack_tile_words)
 
-    k, n = in_dim, packed.shape[-1]
-    w = np.asarray(packed).reshape(k // tk_old, tk_old // 8, n)
-    q = np.empty((k // tk_old, tk_old, n), np.uint8)
-    half = tk_old // 2
-    for b in range(4):
-        byte = (w >> np.uint32(8 * b)).astype(np.uint32)
-        # word rows r*4+b -> lo rows, hi rows
-        q[:, b:half:4] = (byte & 0xF).astype(np.uint8)[:, :]
-        q[:, half + b::4] = ((byte >> 4) & 0xF).astype(np.uint8)[:, :]
-    q = q.reshape(k, n)
-    t = q.astype(np.uint32).reshape(k // tk_new, 2, tk_new // 2, n)
-    lo, hi = t[:, 0], t[:, 1]
-    lo = lo.reshape(-1, tk_new // 8, 4, n)
-    hi = hi.reshape(-1, tk_new // 8, 4, n)
-    shifts = (np.arange(4, dtype=np.uint32) * 8)[None, None, :, None]
-    words = np.bitwise_or.reduce(lo << shifts, axis=2) | \
-        np.bitwise_or.reduce(hi << (shifts + 4), axis=2)
-    return words.reshape(k // 8, n)
+    return pack_tile_words(unpack_tile_words(packed, in_dim, tk_old),
+                           tk_new)
 
 
 def retile_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:

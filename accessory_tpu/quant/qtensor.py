@@ -336,9 +336,10 @@ def _kernel_qmm_impl(aux, x2d, packed, scales, zeros):
         # slower. Sits inside the custom_vjp so QPEFT backward still
         # flows through the XLA dequant transpose.
         bigm = int(os.environ.get("ACCESSORY_QMM_BIGM", "1024"))
-        if bigm and x2d.shape[0] >= bigm:
-            from accessory_tpu.ops.quant_matmul_bigm import planes_qmm_bigm
+        from accessory_tpu.ops.quant_matmul_bigm import (bigm_supported,
+                                                         planes_qmm_bigm)
 
+        if bigm and x2d.shape[0] >= bigm and bigm_supported(in_dim):
             return planes_qmm_bigm(x2d, packed, scales, zeros,
                                    group_size=g, tk=tk, interpret=interp)
         from accessory_tpu.ops.quant_matmul_planes import planes_qmm

@@ -316,3 +316,53 @@ def test_planes_f16_scales_numerics(sd):
     scale = float(jnp.abs(ref).max())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=tol, atol=scale * tol)
+
+
+def test_bigm_matches_dense_reference():
+    """planes_qmm_bigm (weight-stationary large-m kernel) vs the dense
+    unpack_planes reference, incl. padded m/n, multi-k-tile, and the
+    64-group-size path."""
+    from accessory_tpu.ops.quant_matmul_bigm import planes_qmm_bigm
+    from accessory_tpu.ops.quant_matmul_planes import unpack_planes
+
+    for k, n, gs, m in ((1024, 256, 128, 256), (1024, 384, 64, 100),
+                        (2048, 512, 128, 1024)):
+        qw = _mk(k, n, gs)
+        qp = to_planes_layout(qw)
+        x = jax.random.normal(jax.random.PRNGKey(11), (m, k), jnp.float32)
+        w = unpack_planes(qp.packed, k, qp.tile_k, gs, qp.scales, qp.zeros,
+                          dtype=jnp.float32)
+        ref = x @ w
+        got = planes_qmm_bigm(x, qp.packed, qp.scales, qp.zeros,
+                              group_size=gs, tk=qp.tile_k, interpret=True)
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-2, atol=scale * 1e-2)
+
+
+def test_replan_tiles_roundtrip_bitexact():
+    """fuse._replan_tiles_np must equal a direct repack at the new tile
+    size, bit for bit (the retile path runs default-on in
+    fuse_for_decode)."""
+    from accessory_tpu.ops.quant_matmul_planes import repack_for_planes
+    from accessory_tpu.quant.fuse import _replan_tiles_np
+    from accessory_tpu.quant.qtensor import pack_int
+
+    rng = np.random.RandomState(3)
+    k, n = 2048, 384
+    q = rng.randint(0, 16, (k, n))
+    std = pack_int(jnp.asarray(q), 4)
+    for tk_old, tk_new in ((2048, 1024), (2048, 512), (512, 2048)):
+        a = np.asarray(repack_for_planes(std, k, tk_new))
+        b = _replan_tiles_np(np.asarray(repack_for_planes(std, k, tk_old)),
+                             k, tk_old, tk_new)
+        assert (a == np.asarray(b)).all(), (tk_old, tk_new)
+
+
+def test_bigm_dispatch_guard_large_k():
+    """bigm_supported rejects K where even a (K, 128) scratch exceeds the
+    VMEM budget (70B w2's 28672)."""
+    from accessory_tpu.ops.quant_matmul_bigm import bigm_supported
+
+    assert bigm_supported(11008)
+    assert not bigm_supported(28672)
