@@ -157,3 +157,72 @@ def planes_qmm_bigm(x2d, packed_planes, scales, zs, *, group_size: int,
         interpret=interpret,
     )(x2d, packed_planes, scales, zs)
     return out[:m, :n] if (pad_m or pad_n) else out
+
+
+def _dequant_kernel(packed_ref, scales_ref, zs_ref, out_ref, *,
+                    group_size: int, tk: int):
+    kk = pl.program_id(1)
+    G = tk // group_size
+    half = tk // 2
+    gh = half // group_size
+    tn = out_ref.shape[1]
+    w32 = packed_ref[:]
+    mask = jnp.uint32(_NIBBLE_MASK)
+    lo8 = pltpu.bitcast(w32 & mask, jnp.int8)
+    hi8 = pltpu.bitcast((w32 >> jnp.uint32(4)) & mask, jnp.int8)
+    s_all = pltpu.roll(scales_ref[:].astype(jnp.float32), -kk * G, 0)[:G]
+    zs_all = pltpu.roll(zs_ref[:].astype(jnp.float32), -kk * G, 0)[:G]
+    for h, q8 in ((0, lo8), (1, hi8)):
+        qf = q8.astype(jnp.float32).reshape(gh, group_size, tn)
+        s = s_all[h * gh:(h + 1) * gh]
+        zs = zs_all[h * gh:(h + 1) * gh]
+        w = (qf * s[:, None, :] - zs[:, None, :]).reshape(half, tn)
+        out_ref[pl.ds(h * half, half), :] = w.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "tk", "dtype",
+                                             "interpret"))
+def planes_dequant(packed_planes, scales, zs, *, group_size: int, tk: int,
+                   dtype=jnp.bfloat16, interpret: bool = False):
+    """Planes-packed W4 -> dense (K, N) in ONE pass (bitcast + cast + FMA
+    + store, ~stream rate). Replaces the XLA unpack chain
+    (quant_matmul_planes.unpack_planes: stacked shifts/concats that
+    materialize several (K, N)-sized intermediates) where speed matters —
+    the QPEFT backward's dense_weight call per frozen matmul per step.
+    Same numerics as unpack_planes (q*s - zs in f32, cast once)."""
+    kdiv8, n = packed_planes.shape
+    k = kdiv8 * 8
+    assert k % tk == 0, (k, tk)
+    pad_n = (-n) % 128
+    if pad_n:
+        packed_planes = jnp.pad(packed_planes, ((0, 0), (0, pad_n)))
+        scales = jnp.pad(scales, ((0, 0), (0, pad_n)))
+        zs = jnp.pad(zs, ((0, 0), (0, pad_n)))
+    npad = n + pad_n
+    # out block (tk, tn) bf16 is double-buffered — cap it at ~1 MB so the
+    # block set stays inside scoped VMEM (chip OOM at tk=1024/tn=2048:
+    # 17.03M > 16M)
+    tn_cap = max(128, (1 << 19) // tk // 128 * 128)
+    tn = next(c for c in (2048, 1024, 512, 256, 128)
+              if c <= tn_cap and npad % c == 0)
+    pad_g = (-scales.shape[0]) % (8 if scales.dtype.itemsize == 4 else 16)
+    if pad_g:
+        scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
+        zs = jnp.pad(zs, ((0, pad_g), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_dequant_kernel, group_size=group_size, tk=tk),
+        grid=(npad // tn, k // tk),
+        in_specs=[
+            pl.BlockSpec((tk // 8, tn), lambda j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((scales.shape[0], tn), lambda j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((zs.shape[0], tn), lambda j, kk: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tk, tn), lambda j, kk: (kk, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, npad), dtype),
+        interpret=interpret,
+    )(packed_planes, scales, zs)
+    return out[:, :n] if pad_n else out

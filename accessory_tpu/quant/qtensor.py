@@ -292,6 +292,15 @@ def dense_weight(qw: QuantizedWeight, dtype=None) -> jnp.ndarray:
     if qw.layout == "std":
         return dequantize_weight(qw, dtype)
     if qw.layout == "planes":
+        if jax.default_backend() == "tpu" and qw.packed.ndim == 2:
+            # one-pass Pallas dequant (~stream rate) — the XLA unpack
+            # chain materializes several (K, N) intermediates; this path
+            # runs per frozen matmul per step in the QPEFT backward
+            from accessory_tpu.ops.quant_matmul_bigm import planes_dequant
+
+            return planes_dequant(qw.packed, qw.scales, qw.zeros,
+                                  group_size=qw.group_size, tk=qw.tile_k,
+                                  dtype=jnp.dtype(dtype))
         from accessory_tpu.ops.quant_matmul_planes import unpack_planes
 
         return unpack_planes(qw.packed, qw.in_dim, qw.tile_k, qw.group_size,

@@ -366,3 +366,24 @@ def test_bigm_dispatch_guard_large_k():
 
     assert bigm_supported(11008)
     assert not bigm_supported(28672)
+
+
+def test_planes_dequant_kernel_matches_unpack():
+    """One-pass Pallas dequant (QPEFT-backward path) is bit-identical to
+    unpack_planes."""
+    from accessory_tpu.ops.quant_matmul_bigm import planes_dequant
+    from accessory_tpu.ops.quant_matmul_planes import unpack_planes
+
+    for k, n, gs in ((1024, 256, 128), (512, 384, 64)):
+        qw = _mk(k, n, gs)
+        qp = to_planes_layout(qw)
+        ref = unpack_planes(qp.packed, k, qp.tile_k, gs, qp.scales,
+                            qp.zeros)
+        got = planes_dequant(qp.packed, qp.scales, qp.zeros, group_size=gs,
+                             tk=qp.tile_k, interpret=True)
+        # q*s - zs may compile to fma in one path and mul+sub in the
+        # other — 1-ulp f32 differences surface as ~1e-8 absolute noise
+        # on near-zero elements after the bf16 cast
+        np.testing.assert_allclose(
+            np.asarray(got).astype(np.float32),
+            np.asarray(ref).astype(np.float32), atol=1e-6)
