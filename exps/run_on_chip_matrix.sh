@@ -61,6 +61,12 @@ ACCESSORY_SCALES_DTYPE=bfloat16 run bench_scales_bf16 1800 python -u bench.py
 run bench_train 2400 python -u bench_all.py --only train
 run bench_train_qpeft 2400 python -u bench_all.py --only train-qpeft
 
+# 11b. model-zoo decode rows (7B dense + int8-KV, MoE, SPHINX prefill)
+run bench_7b 2400 python -u bench_all.py --only 7b
+run bench_7b_kv8 1800 python -u bench_all.py --only 7b-kv8
+run bench_moe 2400 python -u bench_all.py --only moe
+run bench_sphinx 1800 python -u bench_all.py --only sphinx
+
 # 12. 70B decode projection from real measured 70B-shaped layers
 run bench_70b 2400 python -u bench_all.py --only 70b
 
