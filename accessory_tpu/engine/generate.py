@@ -70,9 +70,10 @@ class Generator:
         self.encode_image = encode_image  # optional multimodal hook
         self._loop_cache = {}
         # int8 KV cache (half the KV HBM traffic, 2x context per GB) for
-        # modules that support it; default stays the activation dtype.
-        # Env ACCESSORY_KV_DTYPE=int8 flips the default (also read inside
-        # init_kv_cache — passing it here just keeps the intent explicit).
+        # modules that support it. None defers to the model's
+        # init_kv_cache, which resolves via util.resolve_kv_dtype:
+        # int8 auto-on on TPU (chip-measured best at every context,
+        # BENCHMARKS.md r4), fp on CPU; env ACCESSORY_KV_DTYPE overrides.
         if kv_dtype is not None and not getattr(module, "SUPPORTS_KV_INT8",
                                                 False):
             raise ValueError(f"{module.__name__} has no int8-KV support")

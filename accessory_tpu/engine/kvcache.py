@@ -92,7 +92,12 @@ def init_paged_cache(
     scheduler's PagePool allocator owns the table then.
 
     ``kv_dtype="int8"``: int8 pools + f32 scale pools — the same HBM holds
-    ~2x the pages (2x serving context capacity)."""
+    ~2x the pages (2x serving context capacity). ``None`` resolves via
+    util.resolve_kv_dtype (int8 auto-on on TPU; env ACCESSORY_KV_DTYPE
+    overrides)."""
+    from accessory_tpu.util import resolve_kv_dtype
+
+    kv_dtype = resolve_kv_dtype(kv_dtype)
     if slots * pages_per_seq <= total_pages:
         idx = (jnp.arange(slots)[:, None] * pages_per_seq
                + jnp.arange(pages_per_seq)[None, :]).astype(jnp.int32)

@@ -124,10 +124,11 @@ def init_kv_cache(args: InternLMArgs, batch: int, max_len: Optional[int] = None,
                   kv_dtype: Optional[str] = None) -> Dict[str, jnp.ndarray]:
     import os
 
+    from accessory_tpu.util import resolve_kv_dtype
+
     max_len = max_len or args.max_seq_len
     dtype = dtype or jnp.dtype(args.dtype)
-    if kv_dtype is None:
-        kv_dtype = os.environ.get("ACCESSORY_KV_DTYPE")
+    kv_dtype = resolve_kv_dtype(kv_dtype)  # int8 auto-on on TPU
     int8_kv = kv_dtype in ("int8", "i8")
     if int8_kv:
         dtype = jnp.int8

@@ -387,12 +387,10 @@ def forward(
 def init_paged_cache(args: MixtralArgs, slots: int, total_pages: int,
                      page_size: int = 64, pages_per_seq: Optional[int] = None,
                      dtype=None, kv_dtype: Optional[str] = None):
-    import os
-
     from accessory_tpu.engine.kvcache import init_paged_cache as _init
+    from accessory_tpu.util import resolve_kv_dtype
 
-    if kv_dtype is None:
-        kv_dtype = os.environ.get("ACCESSORY_KV_DTYPE")
+    kv_dtype = resolve_kv_dtype(kv_dtype)
     pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
     return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
                  page_size, slots, pages_per_seq,

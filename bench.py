@@ -155,9 +155,12 @@ def main() -> None:
     # int8 matches bf16 tok/s exactly (4952 both) — the kernel's scale
     # processing eats the saved stream at short context; int8 wins in the
     # KV-dominated 4k-ctx regime (bench_all --only kv8-longctx).
-    kv_dtype = os.environ.get("BENCH_KV_DTYPE")
-    if kv_dtype == "bf16":
-        kv_dtype = None
+    # The headline stays bf16-KV ("fp" pins it: the engine's resolve_kv_dtype
+    # would otherwise auto-pick int8 on TPU) so vs_baseline keeps the same
+    # roofline basis across rounds; BENCH_KV_DTYPE=int8 is the A/B.
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE") or "fp"
+    if kv_dtype in ("bf16", "fp"):
+        kv_dtype = "fp"
     cache = llama.init_kv_cache(args, BATCH, max_len=CACHE_LEN,
                                 stacked=not unstack, kv_dtype=kv_dtype)
 

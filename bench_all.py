@@ -102,7 +102,9 @@ def synthetic_quantized_params(init_fn, key, group_size=128):
 
 
 def bench_llama_decode(name, args_kw, batch=8, cache_len=1024,
-                       kv_dtype=None):
+                       kv_dtype="fp"):
+    # "fp" pins bf16 pools (resolve_kv_dtype would auto-pick int8 on TPU);
+    # the explicit kv_dtype="int8" rows are the A/B against it.
     from accessory_tpu.config import LLaMAArgs
     from accessory_tpu.models import llama
 

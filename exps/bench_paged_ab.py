@@ -45,7 +45,9 @@ def main():
     params = llama.unstack_layers(fuse_for_decode(Bm._host_synthetic_w4(args)))
 
     pages_per_seq = CTX // PS
-    kv_dtype = os.environ.get("BENCH_KV_DTYPE")
+    # default "fp" pins bf16 pools for the A/B baseline (resolve_kv_dtype
+    # would auto-pick int8 on TPU); BENCH_KV_DTYPE=int8 selects int8
+    kv_dtype = os.environ.get("BENCH_KV_DTYPE") or "fp"
     pcache = llama.init_paged_cache(
         args, slots=B, total_pages=B * pages_per_seq + 1, page_size=PS,
         pages_per_seq=pages_per_seq, kv_dtype=kv_dtype)
@@ -78,7 +80,7 @@ def main():
             else "gather")
     print(json.dumps({
         "metric": f"paged decode 4k-ctx bs8 W4 ({mode}"
-                  + (f", kv={kv_dtype}" if kv_dtype else "") + ")",
+                  + (f", kv={kv_dtype}" if kv_dtype != "fp" else "") + ")",
         "value": round(B / per_step, 1), "unit": "tok/s",
         "ms_per_step": round(per_step * 1e3, 3),
         "vs_baseline": 0.0}), flush=True)

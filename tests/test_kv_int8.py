@@ -228,3 +228,38 @@ def test_generator_kv_int8():
                 break
             prefix += 1
         assert prefix >= 3, (a, b)
+
+
+def test_resolve_kv_dtype_policy(monkeypatch):
+    """Default policy: explicit > env > (TPU && supported → int8) > fp.
+
+    int8 is the TPU default because it won every chip-measured config
+    (BENCHMARKS.md r4: 1k ctx 5921 vs 5838, 4k 4414 vs 3873-4101,
+    LLaMA2-7B +21.8%); ACCESSORY_KV_DTYPE=fp is the A/B escape hatch.
+    """
+    import jax
+
+    from accessory_tpu.util import resolve_kv_dtype
+
+    monkeypatch.delenv("ACCESSORY_KV_DTYPE", raising=False)
+    # explicit always wins
+    assert resolve_kv_dtype("int8") == "int8"
+    assert resolve_kv_dtype("fp") == "fp"
+    # env beats the backend default
+    monkeypatch.setenv("ACCESSORY_KV_DTYPE", "fp")
+    assert resolve_kv_dtype(None) == "fp"
+    monkeypatch.setenv("ACCESSORY_KV_DTYPE", "int8")
+    assert resolve_kv_dtype(None) == "int8"
+    monkeypatch.delenv("ACCESSORY_KV_DTYPE")
+    # backend default: int8 on TPU (when supported), fp elsewhere
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_kv_dtype(None) == "int8"
+    assert resolve_kv_dtype(None, supports_int8=False) is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resolve_kv_dtype(None) is None
+    # the resolved value feeds init_kv_cache: int8 pools carry scale pools
+    args = _args()
+    c8 = llama.init_kv_cache(args, 2, kv_dtype="int8")
+    cfp = llama.init_kv_cache(args, 2, kv_dtype="fp")
+    assert "ks" in c8 and c8["k"].dtype == jnp.int8
+    assert "ks" not in cfp and cfp["k"].dtype != jnp.int8
