@@ -224,25 +224,38 @@ class GaussianDiffusion:
             x0, mean, 0.5 * logvar)) / np.log(2.0)
         return jnp.where(t == 0, nll, kl)
 
-    def training_loss(self, model_fn: Callable, x0, t, key, model_args=()):
+    def training_loss(self, model_fn: Callable, x0, t, key, model_args=(),
+                      reduce: bool = True):
         """Exact hybrid loss (LossType.RESCALED_MSE + LEARNED_RANGE,
         gaussian_diffusion.py:747-771): per-example eps-MSE plus the true
         VB term with the mean FROZEN (stop-gradient on eps inside the VB
-        input) rescaled by T/1000."""
+        input) rescaled by T/1000.
+
+        ``reduce=False`` returns the per-example (b,) loss vector instead of
+        the batch mean — the loss-aware timestep sampler (timestep_sampler.py)
+        needs per-(t, loss) pairs for its history and applies importance
+        weights before reducing."""
         noise = jax.random.normal(key, x0.shape, x0.dtype)
         xt = self.q_sample(x0, t, noise)
         out = model_fn(xt, self._model_t(t), *model_args)
         if self.learn_sigma:
             eps, var_raw = jnp.split(out, 2, axis=1)
-            mse = jnp.mean(_mean_flat(jnp.square(eps - noise)))
+            mse_per = _mean_flat(jnp.square(eps - noise))
             # freeze the mean for the VB term so it only trains the variance
             frozen = jnp.concatenate([jax.lax.stop_gradient(eps), var_raw],
                                      axis=1)
-            vb = jnp.mean(self.vb_term(frozen, x0, xt, t)) * \
+            vb_per = self.vb_term(frozen, x0, xt, t) * \
                 (self.num_timesteps / 1000.0)
-            return mse + vb, {"mse": mse, "vb": vb}
-        mse = jnp.mean(_mean_flat(jnp.square(out - noise)))
-        return mse, {"mse": mse, "vb": jnp.zeros(())}
+            per = mse_per + vb_per
+            if not reduce:
+                return per, {"mse": jnp.mean(mse_per), "vb": jnp.mean(vb_per)}
+            return jnp.mean(per), {"mse": jnp.mean(mse_per),
+                                   "vb": jnp.mean(vb_per)}
+        mse_per = _mean_flat(jnp.square(out - noise))
+        if not reduce:
+            return mse_per, {"mse": jnp.mean(mse_per), "vb": jnp.zeros(())}
+        return jnp.mean(mse_per), {"mse": jnp.mean(mse_per),
+                                   "vb": jnp.zeros(())}
 
     # -- sampling ----------------------------------------------------------
 

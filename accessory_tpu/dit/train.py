@@ -40,26 +40,50 @@ def get_args_parser():
     p.add_argument("--save_freq", default=10000, type=int)
     p.add_argument("--log_every", default=100, type=int)
     p.add_argument("--seed", default=0, type=int)
+    # reference train.py --schedule_sampler (uniform | loss-second-moment)
+    p.add_argument("--schedule_sampler", default="uniform", type=str,
+                   choices=("uniform", "loss-second-moment"))
     return p
 
 
-def make_dit_train_step(args_d, diffusion, tx, remat=True):
+def make_dit_train_step(args_d, diffusion, tx, remat=True,
+                        schedule_sampler: str = "uniform"):
+    """``schedule_sampler="loss-second-moment"`` importance-samples
+    timesteps from the per-t loss history (reference LossAwareSampler /
+    LossSecondMomentResampler, timestep_sampler.py:71-150) — the whole
+    sample → weighted loss → history update cycle runs inside the one
+    jitted step (see dit/timestep_sampler.py). The step then carries a
+    ``sampler_state`` argument and returns it updated.
+    """
     from accessory_tpu.dit.model import dit_forward
+    from accessory_tpu.dit.timestep_sampler import (
+        create_named_schedule_sampler)
 
-    def loss_fn(params, latents, labels, t, key, cap_feats=None):
-        loss, parts = diffusion.training_loss(
+    sstate0, sample_fn, update_fn = create_named_schedule_sampler(
+        schedule_sampler, diffusion.num_timesteps)
+    loss_aware = sstate0 is not None
+
+    def loss_fn(params, latents, labels, t, t_weights, key, cap_feats=None):
+        per, parts = diffusion.training_loss(
             lambda xt, tt, yy=labels: dit_forward(
                 params, args_d, xt, tt, yy, cap_feats=cap_feats,
                 remat=remat),
-            latents, t, key)
-        return loss, parts
+            latents, t, key, reduce=False)
+        # importance-sampling unbiasing weights (1 for uniform): the
+        # weighted mean keeps E[loss] equal to the uniform objective
+        return jnp.mean(per * t_weights), (parts, per)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(state, ema, latents, labels, key, cap_feats=None):
+    def step(state, ema, latents, labels, key, cap_feats=None,
+             sampler_state=None):
         key, k_t, k_n, k_drop = jax.random.split(key, 4)
         b = latents.shape[0]
-        t = jax.random.randint(k_t, (b,), 0, diffusion.num_timesteps)
+        if loss_aware:
+            t, t_weights = sample_fn(sampler_state, k_t, b)
+        else:
+            t = jax.random.randint(k_t, (b,), 0, diffusion.num_timesteps)
+            t_weights = jnp.ones((b,), jnp.float32)
         # CFG label dropout → null label (LabelEmbedder semantics); for T2I
         # the same dropout nulls the caption conditioning (Large-DiT-T2I
         # caption dropout role)
@@ -67,8 +91,8 @@ def make_dit_train_step(args_d, diffusion, tx, remat=True):
         labels = jnp.where(drop, args_d.num_classes, labels)
         if cap_feats is not None:
             cap_feats = jnp.where(drop[:, None, None], 0.0, cap_feats)
-        (loss, parts), grads = grad_fn(state.params, latents, labels, t, k_n,
-                                       cap_feats)
+        (loss, (parts, per)), grads = grad_fn(state.params, latents, labels,
+                                              t, t_weights, k_n, cap_feats)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         import optax
 
@@ -79,9 +103,15 @@ def make_dit_train_step(args_d, diffusion, tx, remat=True):
         ema = ema_update(ema, params)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state)
-        return new_state, ema, {"loss": loss, **parts}, key
+        metrics = {"loss": loss, **parts}
+        if loss_aware:
+            sampler_state = update_fn(sampler_state,
+                                      jax.lax.stop_gradient(t),
+                                      jax.lax.stop_gradient(per))
+            return new_state, ema, metrics, key, sampler_state
+        return new_state, ema, metrics, key
 
-    return step
+    return (step, sstate0) if loss_aware else step
 
 
 def main(args) -> None:
@@ -101,7 +131,11 @@ def main(args) -> None:
     tx = optax.chain(optax.clip_by_global_norm(args.clip_grad),
                      optax.adamw(args.lr, weight_decay=0.0))
     state = TrainState.create(params, tx)
-    step = jax.jit(make_dit_train_step(args_d, diffusion, tx))
+    loss_aware = args.schedule_sampler == "loss-second-moment"
+    made = make_dit_train_step(args_d, diffusion, tx,
+                               schedule_sampler=args.schedule_sampler)
+    step_fn, sampler_state = made if loss_aware else (made, None)
+    step = jax.jit(step_fn)
 
     files = sorted(glob.glob(os.path.join(args.data_dir, "*.npz")))
     assert files, f"no .npz latent shards under {args.data_dir}"
@@ -122,7 +156,11 @@ def main(args) -> None:
                                            total=args.max_iters):
         if it >= args.max_iters:
             break
-        state, ema, metrics, key = step(state, ema, lat, lab, key)
+        if loss_aware:
+            state, ema, metrics, key, sampler_state = step(
+                state, ema, lat, lab, key, sampler_state=sampler_state)
+        else:
+            state, ema, metrics, key = step(state, ema, lat, lab, key)
         logger.update(loss=float(metrics["loss"]), mse=float(metrics["mse"]))
         if (it + 1) % args.save_freq == 0:
             from accessory_tpu.checkpoint import save_checkpoint

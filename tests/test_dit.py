@@ -268,3 +268,101 @@ def test_t2i_end_to_end_train_and_sample():
             cap_feats=caps[:2]),
         (2, 4, 8, 8), jax.random.PRNGKey(4))
     assert out.shape == (2, 4, 8, 8) and jnp.isfinite(out).all()
+
+
+# ---------------------------------------------------------------------------
+# loss-aware timestep sampling (reference timestep_sampler.py:71-150)
+# ---------------------------------------------------------------------------
+
+def test_loss_second_moment_matches_numpy_reference():
+    """Circular-buffer update == the reference's shift-out-oldest buffer
+    (statistics are order-free: weights read only mean(history**2))."""
+    from accessory_tpu.dit.timestep_sampler import (
+        init_sampler_state, sampler_weights, update_sampler_state)
+
+    T, H = 7, 3
+    rng = np.random.RandomState(0)
+    state = init_sampler_state(T, H)
+    # numpy re-implementation of LossSecondMomentResampler.update/weights
+    hist = np.zeros((T, H)); counts = np.zeros(T, np.int64)
+    for _ in range(9):
+        t = rng.randint(0, T, size=(5,))
+        losses = rng.uniform(0.1, 2.0, size=(5,)).astype(np.float32)
+        state = update_sampler_state(state, jnp.asarray(t), jnp.asarray(losses))
+        for ti, li in zip(t, losses):  # reference loop, shift semantics
+            if counts[ti] == H:
+                hist[ti, :-1] = hist[ti, 1:]; hist[ti, -1] = li
+            else:
+                hist[ti, counts[ti]] = li; counts[ti] += 1
+        warmed = (counts == H).all()
+        w = np.sqrt(np.mean(hist ** 2, axis=-1))
+        if warmed:
+            w = w / w.sum(); w = w * (1 - 0.001) + 0.001 / T
+        else:
+            w = np.ones(T) / T
+        np.testing.assert_allclose(np.asarray(sampler_weights(state)), w,
+                                   rtol=1e-5)
+
+
+def test_loss_aware_sampler_concentrates_and_unbiased():
+    """After warmup on a loss landscape where late timesteps hurt more,
+    sampling concentrates there while the 1/(T p) weights keep the
+    objective unbiased (reference sample():53-58)."""
+    from accessory_tpu.dit.timestep_sampler import (
+        init_sampler_state, sample_timesteps, sampler_weights,
+        update_sampler_state)
+
+    T, H, B = 16, 4, 64
+    state = init_sampler_state(T, H)
+    key = jax.random.PRNGKey(0)
+
+    def loss_of(t):  # late half is 9x the early half in RMS
+        return jnp.where(t >= T // 2, 3.0, 1.0)
+
+    for i in range(12):
+        key, sub = jax.random.split(key)
+        t, w = sample_timesteps(state, sub, B)
+        state = update_sampler_state(state, t, loss_of(t))
+    p = np.asarray(sampler_weights(state))
+    assert p.sum() == pytest.approx(1.0, rel=1e-5)
+    assert p[T // 2:].sum() > 0.70, p     # concentrated on the lossy half
+    assert (p > 0).all()                  # uniform_prob floor: no starvation
+    # unbiasedness: E_p[w * f(t)] == uniform mean of f for any f
+    key, sub = jax.random.split(key)
+    t, w = sample_timesteps(state, sub, 200_000)
+    f = loss_of(t)
+    est = float(jnp.mean(w * f))
+    truth = float(jnp.mean(loss_of(jnp.arange(T))))
+    assert est == pytest.approx(truth, rel=0.05), (est, truth)
+    np.testing.assert_allclose(np.asarray(w),
+                               1.0 / (T * p[np.asarray(t)]), rtol=1e-5)
+
+
+def test_dit_train_step_loss_aware_converges():
+    """make_dit_train_step(schedule_sampler='loss-second-moment') runs
+    jitted end-to-end, threads the sampler state, and still reduces the
+    loss (convergence sanity)."""
+    import optax
+
+    from accessory_tpu.dit.train import make_dit_train_step
+    from accessory_tpu.train.train_step import TrainState
+
+    params = init_dit(jax.random.PRNGKey(0), TINY)
+    diff = GaussianDiffusion(num_timesteps=20)
+    tx = optax.adamw(2e-3)
+    state = TrainState.create(params, tx)
+    ema = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+    step_fn, sstate = make_dit_train_step(
+        TINY, diff, tx, schedule_sampler="loss-second-moment")
+    step = jax.jit(step_fn)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 8, 8))
+    y = jnp.array([1, 2, 3, 4])
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(20):
+        state, ema, metrics, key, sstate = step(state, ema, x0, y, key,
+                                                sampler_state=sstate)
+        losses.append(float(metrics["loss"]))
+    assert int(sstate.counts.sum()) == 20 * 4
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
