@@ -73,9 +73,15 @@ def make_global_mesh(
     if dcn_dp > 1:
         from jax.experimental import mesh_utils
 
+        # granule = TPU slice when the topology reports one slice per dcn
+        # group; otherwise fall back to process granules (multi-host CPU,
+        # and single-slice multi-host pods, neither of which has a usable
+        # slice_index)
+        n_slices = len({getattr(d, "slice_index", 0) for d in jax.devices()})
         devices = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(inner, fsdp, ep, tp),
             dcn_mesh_shape=(dcn_dp, 1, 1, 1),
+            process_is_granule=(n_slices != dcn_dp),
         )
         return Mesh(devices.reshape(dcn_dp * inner, fsdp, ep, tp),
                     ("dp", "fsdp", "ep", "tp"))
