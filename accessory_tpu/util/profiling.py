@@ -32,6 +32,43 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def device_busy_from_trace(logdir: str) -> Dict[str, float]:
+    """Digest a jax.profiler trace dir: seconds the DEVICE spent executing
+    kernels ("XLA Ops" lane busy time) vs the lane's wall span.
+
+    The device-bound number a co-located production host would see is
+    work / busy_s; wall - busy is host/dispatch/relay overhead. Used by the
+    serving benches to split relay-span from device-span (VERDICT r4 #5).
+    """
+    import gzip
+    import json as _json
+    import os
+
+    prof = None
+    for root, _, files in os.walk(logdir):
+        for f in files:
+            if f.endswith("trace.json.gz"):
+                prof = os.path.join(root, f)
+    if prof is None:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    with gzip.open(prof) as f:
+        tr = _json.load(f)
+    lanes = {}
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            lanes[(e["pid"], e["tid"])] = e["args"]["name"]
+    xla = [k for k, v in lanes.items() if "XLA Ops" in v]
+    if not xla:
+        raise RuntimeError(f"no 'XLA Ops' lane; lanes={sorted(set(lanes.values()))}")
+    pid, tid = xla[0]
+    dev = [e for e in tr["traceEvents"]
+           if e.get("ph") == "X" and e["pid"] == pid and e["tid"] == tid]
+    busy = sum(e["dur"] for e in dev)
+    span = (max(e["ts"] + e["dur"] for e in dev) - min(e["ts"] for e in dev)
+            if dev else 0)
+    return {"busy_s": busy / 1e6, "span_s": span / 1e6, "n_kernels": len(dev)}
+
+
 def time_fn(f: Callable, *args, n1: int = 20, n2: int = 120) -> float:
     """Seconds per call, amortized; the returned value excludes fixed
     dispatch+fetch overhead (two-point fit)."""

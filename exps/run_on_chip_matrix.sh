@@ -67,11 +67,21 @@ run bench_7b_kv8 1800 python -u bench_all.py --only 7b-kv8
 run bench_moe 2400 python -u bench_all.py --only moe
 run bench_sphinx 1800 python -u bench_all.py --only sphinx
 
+# 11c. device-bound serving aggregate: deep saturation with the multi-step
+# decode knob swept 8/16/32, each traced so tokens/device-busy-s (what a
+# co-located host sees) prints next to the wall number (VERDICT r4 #5)
+run bench_sched_nsteps 3600 python -u bench_all.py --only sched-nsteps
+
 # 12. 70B decode projection from real measured 70B-shaped layers
 run bench_70b 2400 python -u bench_all.py --only 70b
 
 # 13. Large-DiT training step (the DiT sub-project headline is train speed)
 run bench_dit 2400 python -u bench_all.py --only dit
+
+# 14. quantization-accuracy protocol: fixture ppl FP vs W4 vs W3 through
+# the Pallas kernels (the OmniQuant ppl-delta role at fixture scale;
+# real weights = exps/verify_real_weights.sh, same code path)
+run bench_ppl_delta 3600 python -u exps/bench_ppl_quant_delta.py
 
 echo "MATRIX DONE $(date)" >> $OUT/summary.log
 touch /tmp/chip_matrix_done.flag
