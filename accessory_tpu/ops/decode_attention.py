@@ -259,6 +259,16 @@ def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
         #     and is the lever to reach >620 GB/s if attention ever
         #     dominates; the fused write below is what makes this kernel
         #     win end-to-end.
+        # MHA-class models (R=1, many KV heads) dispatch to the
+        # head-GROUPED kernel: softmax on (G, S) blocks instead of (1, S)
+        # rows — the per-(b,head) instruction floor (~0.5 µs) dominates the
+        # memory floor there (r5 7B trace budget; see kernel docstring)
+        g_blk = _pick_g_blk(nkv, nq // nkv)
+        if g_blk:
+            out, wk, wv = _decode_attn_hgrp_w(
+                qg, kn, vn, cache_k, cache_v, pos_arr, pos, g_blk=g_blk,
+                interpret=not use_pallas)
+            return out.reshape(b, 1, nq, hd), wk, wv
         b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize)
         out, wk, wv = _decode_attn_bloop_w(
             qg, kn, vn, cache_k, cache_v, pos_arr, pos, b_blk=b_blk,
@@ -787,6 +797,263 @@ def _decode_attn_bloop_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
     return out, wk, wv, wks.reshape(b, nkv, S), wvs.reshape(b, nkv, S)
 
 
+# ---------------------------------------------------------------------------
+# head-GROUPED fused decode attention (MHA-class models: many KV heads, R=1)
+# ---------------------------------------------------------------------------
+#
+# The per-head kernels above run their softmax chain on (1, S) rows — one
+# sublane of the 8x128 VPU — so at MHA scale the step is INSTRUCTION-bound:
+# the r5 trace budget of LLaMA2-7B (NKV=32, bs8) reads 118.8 µs/layer
+# against a ~93 µs int8 memory floor, matching the measured ~0.5 µs
+# per-(b,head) softmax-chain floor x 256 pairs. (Round 3 tried head folding
+# at TinyLlama shape — NKV=4, R=8 — and measured parity: THAT regime is
+# DMA-bound. The negative result was per-regime, not universal.)
+#
+# These kernels process G heads of one batch row per program: the QK dot is
+# one block-diagonal MXU dot (G, G*HD) @ (G*HD, S) -> (G, S) (rows don't
+# mix: row g of the LHS is zero outside its own head's K columns), the
+# whole softmax chain runs on (G, S) blocks with every sublane busy, and
+# the RMW cache-tile writes batch over G. The value contraction stays one
+# MXU dot per head (dots were never the bottleneck; a block-diagonal P
+# would need a (G, G*S) staging buffer).
+
+
+def _hgrp_common(q, kc_b, ks, length, scale, prec):
+    """Shared QK + softmax for G grouped heads: q (G, HD), kc_b (G*HD, S)
+    bf16/f32, ks None or (G, S) int8-scales. Returns (p_old, s_new_part)."""
+    G, hd = q.shape
+    # block-diagonal LHS: row g carries q[g] in columns [g*HD, (g+1)*HD)
+    qt = jnp.tile(q, (1, G))                            # (G, G*HD)
+    col_grp = jax.lax.broadcasted_iota(jnp.int32, qt.shape, 1) // hd
+    row = jax.lax.broadcasted_iota(jnp.int32, qt.shape, 0)
+    qbd = jnp.where(col_grp == row, qt, 0).astype(kc_b.dtype)
+    s_old = jax.lax.dot_general(
+        qbd, kc_b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # (G, S)
+    s_old = s_old * (scale if ks is None else ks * scale)
+    mask = jax.lax.broadcasted_iota(jnp.int32, s_old.shape, 1) < length
+    return jnp.where(mask, s_old, NEG_INF)
+
+
+def _kernel_hgrp_w(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
+                   out_ref, outk_ref, outv_ref):
+    """Grid (B, NKV//G). Blocks: q/kn/vn (1,G,1,HD); kc/vc (1,G,HD,S);
+    out (1,G,1,HD); outk/outv (1,G,HD,128) aliased cache tiles."""
+    G, hd = q_ref.shape[1], q_ref.shape[3]
+    S = kc_ref.shape[3]
+    scale = hd ** -0.5
+    length = lens_ref[pl.program_id(0)]
+    pos = pos_ref[0]
+    tile0 = pl.multiple_of((pos // 128) * 128, 128)
+    col = jax.lax.rem(pos, 128)
+    prec = (jax.lax.Precision.HIGHEST if kc_ref.dtype == jnp.float32
+            else None)
+
+    q = q_ref[0, :, 0, :]                               # (G, HD)
+    kc = kc_ref[0]                                      # (G, HD, S)
+    vc = vc_ref[0]
+    p_old = _hgrp_common(q, kc.reshape(G * hd, S), None, length, scale,
+                         prec)                          # masked scores
+    kn = kn_ref[0, :, 0, :].astype(jnp.float32)         # (G, HD)
+    vn = vn_ref[0, :, 0, :].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    s_new = jnp.sum(qf * kn, axis=1, keepdims=True) * scale      # (G, 1)
+    m = jnp.maximum(jnp.max(p_old, axis=1, keepdims=True), s_new)
+    p = jnp.exp(p_old - m)                              # (G, S) grouped VPU
+    p_new = jnp.exp(s_new - m)
+    denom = jnp.sum(p, axis=1, keepdims=True) + p_new
+
+    pc = p.astype(vc.dtype)
+    for g in range(G):                                  # MXU per head
+        og = jax.lax.dot_general(
+            pc[g:g + 1], vc[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (1, HD)
+        og = og + p_new[g:g + 1] * vn[g:g + 1]
+        out_ref[0, g] = (og / denom[g:g + 1]).astype(out_ref.dtype)
+
+    # grouped RMW of the (G, HD, 128) cache tiles holding ``pos``
+    wmask = jax.lax.broadcasted_iota(jnp.int32, (G, hd, 128), 2) == col
+    oldk = kc_ref[0, :, :, pl.ds(tile0, 128)].astype(jnp.float32)
+    oldv = vc_ref[0, :, :, pl.ds(tile0, 128)].astype(jnp.float32)
+    outk_ref[0] = jnp.where(wmask, kn[:, :, None], oldk).astype(outk_ref.dtype)
+    outv_ref[0] = jnp.where(wmask, vn[:, :, None], oldv).astype(outv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("g_blk", "interpret"))
+def _decode_attn_hgrp_w(q, k_new, v_new, cache_k, cache_v, lengths, pos,
+                        g_blk, interpret=False):
+    """Head-grouped fused decode attention + cache update (R must be 1).
+    Returns (out, k_pool, v_pool); pools alias the inputs."""
+    b, nkv, r, hd = q.shape
+    assert r == 1 and nkv % g_blk == 0, (r, nkv, g_blk)
+    S = cache_k.shape[3]
+    head = lambda i, j, lens, p: (i, j, 0, 0)
+    tile = lambda i, j, lens, p: (i, j, 0, p[0] // 128)
+    pool_shape = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    out, wk, wv = pl.pallas_call(
+        _kernel_hgrp_w,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nkv // g_blk),
+            in_specs=[
+                pl.BlockSpec((1, g_blk, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, S), head,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, g_blk, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+                   pool_shape, pool_shape],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      q, k_new, v_new, cache_k, cache_v)
+    return out, wk, wv
+
+
+def _kernel_hgrp_w8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
+                    vc_ref, ks_ref, vs_ref, out_ref, outk_ref, outv_ref,
+                    outks_ref, outvs_ref):
+    """int8 head-grouped variant: kc/vc int8 (1,G,HD,S); ks/vs f32
+    (1,G,S) — consumed in the pools' NATIVE 3D (B,NKV,S) layout (legal
+    here because the G=8 head group fills the block's second-minor dim;
+    the per-head kernel's 4D singleton view forced a physical
+    T(8,128)->T(1,128) retile of every scale pool every layer: ~490
+    µs/step at 7B, r5 trace). Quantized RMW writes for values AND scales."""
+    G, hd = q_ref.shape[1], q_ref.shape[3]
+    S = kc_ref.shape[3]
+    scale = hd ** -0.5
+    length = lens_ref[pl.program_id(0)]
+    pos = pos_ref[0]
+    tile0 = pl.multiple_of((pos // 128) * 128, 128)
+    col = jax.lax.rem(pos, 128)
+
+    q = q_ref[0, :, 0, :]                               # (G, HD) bf16
+    kc = kc_ref[0].astype(jnp.bfloat16)                 # (G, HD, S) exact
+    vc = vc_ref[0].astype(jnp.bfloat16)
+    ks = ks_ref[0]                                      # (G, S) f32
+    vs = vs_ref[0]
+    p_old = _hgrp_common(q, kc.reshape(G * hd, S), ks, length, scale, None)
+    kn = kn_ref[0, :, 0, :].astype(jnp.float32)
+    vn = vn_ref[0, :, 0, :].astype(jnp.float32)
+    qf = q.astype(jnp.float32)
+    s_new = jnp.sum(qf * kn, axis=1, keepdims=True) * scale
+    m = jnp.maximum(jnp.max(p_old, axis=1, keepdims=True), s_new)
+    p = jnp.exp(p_old - m)
+    p_new = jnp.exp(s_new - m)
+    denom = jnp.sum(p, axis=1, keepdims=True) + p_new
+
+    pv = (p * vs).astype(jnp.bfloat16)                  # grouped dequant
+    for g in range(G):
+        og = jax.lax.dot_general(
+            pv[g:g + 1], vc[g], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        og = og + p_new[g:g + 1] * vn[g:g + 1]
+        out_ref[0, g] = (og / denom[g:g + 1]).astype(out_ref.dtype)
+
+    # grouped quantize + RMW (f32 select round-trip, |q| <= 127 exact)
+    ks_new = jnp.maximum(jnp.max(jnp.abs(kn), axis=1), KV_SCALE_EPS) / 127.0
+    vs_new = jnp.maximum(jnp.max(jnp.abs(vn), axis=1), KV_SCALE_EPS) / 127.0
+    kq = jnp.clip(jnp.round(kn / ks_new[:, None]), -127, 127)    # (G, HD)
+    vq = jnp.clip(jnp.round(vn / vs_new[:, None]), -127, 127)
+    wmask = jax.lax.broadcasted_iota(jnp.int32, (G, hd, 128), 2) == col
+    oldk = kc_ref[0, :, :, pl.ds(tile0, 128)].astype(jnp.float32)
+    oldv = vc_ref[0, :, :, pl.ds(tile0, 128)].astype(jnp.float32)
+    outk_ref[0] = jnp.where(wmask, kq[:, :, None], oldk).astype(jnp.int8)
+    outv_ref[0] = jnp.where(wmask, vq[:, :, None], oldv).astype(jnp.int8)
+    smask = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1) == col
+    outks_ref[0] = jnp.where(smask, ks_new[:, None],
+                             ks_ref[0, :, pl.ds(tile0, 128)])
+    outvs_ref[0] = jnp.where(smask, vs_new[:, None],
+                             vs_ref[0, :, pl.ds(tile0, 128)])
+
+
+@functools.partial(jax.jit, static_argnames=("g_blk", "interpret"))
+def _decode_attn_hgrp_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
+                         cache_vs, lengths, pos, g_blk, interpret=False):
+    """int8 head-grouped fused decode attention + quantized cache update."""
+    b, nkv, r, hd = q.shape
+    assert r == 1 and nkv % g_blk == 0, (r, nkv, g_blk)
+    S = cache_k.shape[3]
+    head = lambda i, j, lens, p: (i, j, 0, 0)
+    tile = lambda i, j, lens, p: (i, j, 0, p[0] // 128)
+    shead = lambda i, j, lens, p: (i, j, 0)
+    stile = lambda i, j, lens, p: (i, j, p[0] // 128)
+    pool = jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype)
+    # scale pools stay in their native 3D (B, NKV, S) layout: the G-head
+    # block fills the second-minor dim, so no retile (see kernel docstring)
+    spool = jax.ShapeDtypeStruct((b, nkv, S), cache_ks.dtype)
+    out, wk, wv, wks, wvs = pl.pallas_call(
+        _kernel_hgrp_w8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, nkv // g_blk),
+            in_specs=[
+                pl.BlockSpec((1, g_blk, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, 1, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, S), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, S), shead,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, S), shead,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, g_blk, r, hd), head,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, hd, 128), tile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, 128), stile,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_blk, 128), stile,
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((b, nkv, r, hd), q.dtype),
+                   pool, pool, spool, spool],
+        input_output_aliases={5: 1, 6: 2, 7: 3, 8: 4},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32),
+      jnp.reshape(jnp.asarray(pos, jnp.int32), (1,)),
+      q, k_new, v_new, cache_k, cache_v, cache_ks, cache_vs)
+    return out, wk, wv, wks, wvs
+
+
+def _pick_g_blk(nkv: int, r: int) -> int:
+    """Head-group size for the grouped kernels: 8 sublanes is the VPU's
+    native block height. 0 = grouped path not applicable (GQA with R>1
+    keeps the per-head kernels — that regime is DMA-bound, r3 A/B)."""
+    if r != 1 or os.environ.get("ACCESSORY_ATTN_HGRP", "1") != "1":
+        return 0
+    for g in (8, 4, 2):
+        if nkv % g == 0 and nkv >= g:
+            return g
+    return 0
+
+
 def _kernel_bloop8(lens_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
                    ks_ref, vs_ref, out_ref):
     """Read-only int8 decode attention (non-fused ablation / paged use)."""
@@ -907,6 +1174,12 @@ def decode_attention_update8(q, k_new, v_new, cache_k, cache_v, cache_ks,
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
         pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
+        g_blk = _pick_g_blk(nkv, nq // nkv)
+        if g_blk:
+            out, wk, wv, wks, wvs = _decode_attn_hgrp_w8(
+                qg, kn, vn, cache_k, cache_v, cache_ks, cache_vs, pos_arr,
+                pos, g_blk=g_blk, interpret=not use_pallas)
+            return out.reshape(b, 1, nq, hd), wk, wv, wks, wvs
         b_blk = _pick_b_blk(b, hd, S, cache_k.dtype.itemsize + 1)
         out, wk, wv, wks, wvs = _decode_attn_bloop_w8(
             qg, kn, vn, cache_k, cache_v, cache_ks, cache_vs, pos_arr, pos,

@@ -64,19 +64,30 @@ def module_linear_nr(x: jnp.ndarray, mod: dict, *, norm: Optional[dict] = None,
     for d in x.shape[:-1]:
         m_rows *= d
     bigm_t = int(os.environ.get("ACCESSORY_QMM_BIGM", "1024"))
-    fusible = (
+    kernel_ok = (
         allow_fused
         and (not bigm_t or m_rows < bigm_t)
         and isinstance(w, QuantizedWeight) and w.layout in ("planes", "w8")
         and "lora_a" not in mod and mod.get("bias") is None
-        and x.shape[-1] == w.in_dim
-        and (norm is None or (w.in_dim == w.tile_k
-                              and os.environ.get("ACCESSORY_NORM_FUSE",
-                                                 "1") == "1")))
-    if fusible:
+        and x.shape[-1] == w.in_dim)
+    # the norm PROLOGUE needs the whole reduction row in one kernel program
+    # (rms spans k-tiles), so it folds only when in_dim == tile_k
+    norm_foldable = (norm is None
+                     or (kernel_ok and w.in_dim == w.tile_k
+                         and os.environ.get("ACCESSORY_NORM_FUSE",
+                                            "1") == "1"))
+    if kernel_ok and norm_foldable:
         return quant_matmul(
             x, w, norm_weight=None if norm is None else norm["weight"],
             norm_eps=eps, residual=residual, rope=rope)
+    if kernel_ok:
+        # multi-k-tile shapes (e.g. 7B: in_dim 4096 > tile_k 2048) can't
+        # fold the norm — but rope/residual are OUTPUT epilogues and fuse
+        # regardless. Routing the whole call unfused here left ~21 µs/layer
+        # of XLA rope/interleave glue in the 7B decode step (r5 trace
+        # budget); only the rms_norm itself stays an XLA op.
+        xn = x if norm is None else rms_norm(x, norm["weight"], eps)
+        return quant_matmul(xn, w, residual=residual, rope=rope)
     xn = x if norm is None else rms_norm(x, norm["weight"], eps)
     y = module_linear(xn, mod)
     if rope is not None:

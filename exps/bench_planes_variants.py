@@ -27,14 +27,23 @@ SHAPES = {
     "wo": (2048, 2048),
     "w13": (2048, 11264),
     "w2": (5632, 2048),
+    # LLaMA2-7B shapes (r5 trace budget: planes runs 470-550 GB/s here vs
+    # 650-750 at the TinyLlama shapes — all are multi-k-tile)
+    "7b_wqkv": (4096, 12288),
+    "7b_wo": (4096, 4096),
+    "7b_w13": (4096, 22528),
+    "7b_w2": (11264, 4096),
 }
 GS = 128
 L = 22
 
 
+TK_OVERRIDE = None  # --tk=N on the CLI
+
+
 def build(k, n, variant):
     rng = np.random.RandomState(0)
-    tk = choose_tile_k(k, GS)
+    tk = TK_OVERRIDE or choose_tile_k(k, GS)
     ws = []
     for _ in range(L):
         packed = jnp.asarray(
@@ -85,12 +94,19 @@ def bench(k, n, variant, reps=3):
 if __name__ == "__main__":
     names = [a for a in sys.argv[1:] if not a.startswith("-")] \
         or list(SHAPES)
+    variants = ("precise", "bf16", "groupdot")
+    for a in sys.argv[1:]:
+        if a.startswith("--tk="):
+            TK_OVERRIDE = int(a[5:])
+        if a.startswith("--variants="):
+            variants = tuple(a[len("--variants="):].split(","))
     for nm in names:
         k, n = SHAPES[nm]
         by = L * (k * n // 2 + 2 * (k // GS) * n * 4 + 8 * k * 2 + 8 * n * 2)
         row = []
-        for variant in ("precise", "bf16", "groupdot"):
+        for variant in variants:
             dt = bench(k, n, variant)
             row.append(f"{variant} {dt*1e3/L*1e3:6.2f} us/call "
                        f"({by/dt/1e9:5.0f} GB/s)")
-        print(f"{nm} K={k} N={n}: " + "  ".join(row), flush=True)
+        print(f"{nm} K={k} N={n} tk={TK_OVERRIDE or choose_tile_k(k, GS)}: "
+              + "  ".join(row), flush=True)

@@ -46,12 +46,13 @@ def build(kv_dtype):
 
 
 def digest(logdir, n_steps):
-    prof = None
+    cands = []
     for root, _, files in os.walk(logdir):
         for f in files:
             if f.endswith("trace.json.gz"):
-                prof = os.path.join(root, f)
-    assert prof, f"no trace under {logdir}"
+                cands.append(os.path.join(root, f))
+    assert cands, f"no trace under {logdir}"
+    prof = max(cands, key=os.path.getmtime)
     with gzip.open(prof) as f:
         tr = json.load(f)
     ev = [e for e in tr["traceEvents"] if e.get("ph") == "X"]
@@ -76,7 +77,7 @@ def digest(logdir, n_steps):
         durs.sort()
         groups, cur = [], [durs[0]]
         for d in durs[1:]:
-            if d > cur[-1] * 1.6 and d - cur[-1] > 3.0:
+            if d > cur[-1] * 1.25 and d - cur[-1] > 3.0:
                 groups.append(cur)
                 cur = [d]
             else:
@@ -120,7 +121,10 @@ def run(kv, n_steps):
     per = (t2 - t1) / 50
     print(f"  {BATCH/per:.1f} tok/s ({per*1e3:.2f} ms/step)", flush=True)
 
+    import shutil
+
     logdir = f"/tmp/trace7b_{kvname}"
+    shutil.rmtree(logdir, ignore_errors=True)  # stale traces poison digest
     jax.profiler.start_trace(logdir)
     c = cache
     for i in range(n_steps):

@@ -35,6 +35,15 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# honor JAX_PLATFORMS=cpu explicitly: the axon sitecustomize pins
+# jax_platforms="axon,cpu" via jax.config, which silently overrides the
+# env var (see tests/conftest.py) — without this a "CPU" run grabs the
+# tunneled TPU and pays remote compiles
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 FALLBACK_TEXT = (
     "The Transformer architecture has become the dominant approach in "
     "natural language processing . It relies entirely on attention "
@@ -131,7 +140,9 @@ def main():
                                           max_seq_len=a.max_seq_len)
     n_params = sum(int(np.prod(x.shape)) for x in
                    jax.tree.leaves(model.params) if hasattr(x, "shape"))
-    print(f"      {n_params/1e9:.2f}B params imported", flush=True)
+    print(f"      {n_params/1e9:.2f}B params imported"
+          if n_params >= 1e8 else
+          f"      {n_params/1e6:.1f}M params imported", flush=True)
 
     prompts = ["The capital of France is",
                "def fibonacci(n):",

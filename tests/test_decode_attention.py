@@ -139,3 +139,56 @@ def test_fused_attention_update_tile_positions(pos):
     want_k, want_v = da.write_kv_layer(ck, cv, kn, vn, pos)
     np.testing.assert_array_equal(np.asarray(got_k), np.asarray(want_k))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_head_grouped_kernels_match_per_head():
+    """MHA head-grouped kernels (G heads per program, grouped softmax) ==
+    the per-head bloop kernels, both dtypes, incl. the RMW'd pools.
+
+    The grouped path exists because at MHA scale the per-head kernels are
+    instruction-bound (~0.5 µs per (b,head) softmax chain; r5 7B budget:
+    118.8 µs/layer vs a 93 µs memory floor)."""
+    import numpy as np
+
+    from accessory_tpu.ops import decode_attention as da
+
+    rng = np.random.RandomState(0)
+    b, nkv, r, hd, S = 4, 8, 1, 64, 256
+    pos = 131
+    q = jnp.asarray(rng.standard_normal((b, nkv, r, hd)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((b, nkv, 1, hd)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((b, nkv, 1, hd)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((b, nkv, hd, S)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((b, nkv, hd, S)), jnp.float32)
+    lens = jnp.full((b,), pos, jnp.int32)
+
+    o1, wk1, wv1 = da._decode_attn_bloop_w(q, kn, vn, ck, cv, lens, pos,
+                                           b_blk=4, interpret=True)
+    o2, wk2, wv2 = da._decode_attn_hgrp_w(q, kn, vn, ck, cv, lens, pos,
+                                          g_blk=8, interpret=True)
+    assert float(jnp.max(jnp.abs(o1 - o2))) < 1e-5
+    assert float(jnp.max(jnp.abs(wk1 - wk2))) == 0.0
+    assert float(jnp.max(jnp.abs(wv1 - wv2))) == 0.0
+
+    ck8 = jnp.asarray(rng.randint(-127, 128, (b, nkv, hd, S)), jnp.int8)
+    cv8 = jnp.asarray(rng.randint(-127, 128, (b, nkv, hd, S)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (b, nkv, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (b, nkv, S)), jnp.float32)
+    qb, knb, vnb = (x.astype(jnp.bfloat16) for x in (q, kn, vn))
+    r3 = da._decode_attn_bloop_w8(qb, knb, vnb, ck8, cv8, ks, vs, lens,
+                                  pos, b_blk=4, interpret=True)
+    r4 = da._decode_attn_hgrp_w8(qb, knb, vnb, ck8, cv8, ks, vs, lens,
+                                 pos, g_blk=8, interpret=True)
+    for a, c in zip(r3, r4):
+        assert float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                     - c.astype(jnp.float32)))) < 1e-5
+
+
+def test_pick_g_blk_dispatch_rule():
+    from accessory_tpu.ops.decode_attention import _pick_g_blk
+
+    assert _pick_g_blk(32, 1) == 8    # 7B MHA
+    assert _pick_g_blk(8, 8) == 0     # 70B GQA (R=8) stays per-head
+    assert _pick_g_blk(4, 8) == 0     # TinyLlama GQA
+    assert _pick_g_blk(4, 1) == 4
+    assert _pick_g_blk(2, 1) == 2
