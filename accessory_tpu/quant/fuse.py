@@ -98,14 +98,21 @@ def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
     # 512-lane tiles, where halving loses)
     if os.environ.get("ACCESSORY_RETILE", "1") == "1":
         out = retile_for_decode(out)
-    # Default OFF — measured SLOWER on chip (r4 interleaved A/B, 14 pairs:
-    # -2.7% median). The pad/convert kernels this removes turn out to be
-    # net-positive: their per-step outputs are placed in alternate memory
-    # (S(1)) by XLA memory-space assignment, effectively prefetching the
-    # scale/norm operands that the Pallas custom-calls otherwise DMA from
-    # HBM at kernel start. Kept for A/Bs (ACCESSORY_KERNEL_PREP=1).
-    if os.environ.get("ACCESSORY_KERNEL_PREP", "0") == "1":
+    # Default "auto" (r5): apply where the attention norm can NOT fold into
+    # the quant kernel (in_dim > tile_k — the 7B-class regime, where the
+    # per-step f32 norm converts + scale pads are pure launch bloat:
+    # chip A/B int8-7B 714 -> 753 tok/s, busy 11.13 -> 10.51 ms). Keep OFF
+    # where norms fold (TinyLlama-class: r4 A/B -2.7% — the tiny ops'
+    # S(1) outputs double as MSA prefetches for the fused-norm kernels'
+    # operands). "1"/"0" force.
+    prep_env = os.environ.get("ACCESSORY_KERNEL_PREP", "auto")
+    if prep_env == "1":
         out = kernel_prep(out)
+    elif prep_env == "auto":
+        wqkv = out["layers"].get("attention", {}).get("wqkv", {})
+        w = wqkv.get("weight") if isinstance(wqkv, dict) else None
+        if isinstance(w, QuantizedWeight) and w.in_dim != w.tile_k:
+            out = kernel_prep(out)
     return out
 
 
