@@ -581,6 +581,7 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
                     first_seen[r.uid] = now
         total = time.perf_counter() - t0
         n_generated = sum(len(r.output_tokens) for r in cb.finished)
+        run_poisson.last = {"n_generated": n_generated, "total": total}
         cb.finished.clear()
         ttfts = sorted(first_seen[u] - ttft[u]
                        for u in ttft if u in first_seen)
@@ -625,17 +626,17 @@ def bench_scheduler(slots=8, n_requests=16, rate=1.0, prompt_len=128,
         from accessory_tpu.util.profiling import device_busy_from_trace
 
         logdir = tempfile.mkdtemp(prefix="sched_trace_")
-        t0 = time.perf_counter()
         jax.profiler.start_trace(logdir)
         try:
             agg, p50, _ = run_poisson(rate, n_requests)
         finally:
             jax.profiler.stop_trace()
-        wall = time.perf_counter() - t0
         d = device_busy_from_trace(logdir)
-        n_tok_s_wall = agg  # completion tok/s over wall
-        # generated tokens = agg * wall (run_poisson cleared cb.finished)
-        dev_agg = n_tok_s_wall * wall / max(d["busy_s"], 1e-9)
+        # run_poisson's OWN span/token-count (the wrapper's wall would
+        # include the multi-second trace-file finalize)
+        n_gen = run_poisson.last["n_generated"]
+        wall = run_poisson.last["total"]
+        dev_agg = n_gen / max(d["busy_s"], 1e-9)
         print(json.dumps({
             "metric": f"scheduler device-bound agg TinyLlama W4 {slots} "
                       f"slots decode_steps={decode_steps}"
