@@ -374,12 +374,34 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
 
     ff = layer["feed_forward"]
     if "w13" in ff:
-        gu = module_linear_nr(h, ff["w13"], norm=layer["ffn_norm"],
-                              eps=args.norm_eps, allow_fused=fuse_ok)
-        hidden = gu.shape[-1] // 2
-        gate = jax.nn.silu(gu[..., :hidden])
-        h = module_linear_nr(gate * gu[..., hidden:], ff["w2"], residual=h,
-                             allow_fused=fuse_ok)
+        from accessory_tpu.ops.ffn_fused import ffn_fusible, ffn_qmm
+
+        w13_w = ff["w13"].get("weight")
+        w2_w = ff["w2"].get("weight") if isinstance(ff["w2"], dict) else None
+        m_rows = b * sq
+        if (fuse_ok and sq == 1 and "lora_a" not in ff["w2"]
+                and ffn_fusible(w13_w, w2_w, m_rows)
+                and jax.default_backend() == "tpu"):
+            # whole FFN (w13 → SwiGLU → w2 + residual) in ONE kernel:
+            # removes a per-layer kernel boundary and the (m, ffn) HBM
+            # round-trip (r5 trace: in-model kernels pay 16-19 µs/call
+            # of ramp vs back-to-back chains). Norm stays an XLA op when
+            # it cannot fold (multi-k-tile), matching module_linear_nr.
+            xn = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
+            x2d = xn.reshape(m_rows, xn.shape[-1]).astype(w13_w.act_dtype)
+            h = ffn_qmm(
+                x2d, w13_w.packed, w13_w.scales, w13_w.zeros,
+                w2_w.packed, w2_w.scales, w2_w.zeros,
+                residual=h.reshape(m_rows, -1),
+                group_size=w13_w.group_size, tk1=w13_w.tile_k,
+                tk2=w2_w.tile_k).reshape(h.shape)
+        else:
+            gu = module_linear_nr(h, ff["w13"], norm=layer["ffn_norm"],
+                                  eps=args.norm_eps, allow_fused=fuse_ok)
+            hidden = gu.shape[-1] // 2
+            gate = jax.nn.silu(gu[..., :hidden])
+            h = module_linear_nr(gate * gu[..., hidden:], ff["w2"],
+                                 residual=h, allow_fused=fuse_ok)
     else:
         x = rms_norm(h, layer["ffn_norm"]["weight"], args.norm_eps)
         gate = jax.nn.silu(module_linear(x, ff["w1"]))

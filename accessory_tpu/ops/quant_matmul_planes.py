@@ -185,6 +185,33 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
             jnp.mean(xf * xf, axis=1, keepdims=True) + norm_eps))
         x = ((xf * r) * norm_ref[:]).astype(x.dtype)
 
+    _accum_tile(acc_ref, x, w32, s_all, zs_all, group_size=group_size,
+                tk=tk, precise=precise, group_dot=group_dot)
+
+    @pl.when(k_idx == nk - 1)
+    def _emit():
+        acc = acc_ref[:]
+        if rope_style:
+            acc = rotate_lanes(acc, cos_ref[:], sin_ref[:], rope_style,
+                               rope_hd)
+        out = acc.astype(out_ref.dtype)
+        if has_res:
+            # fused residual-add epilogue; cast-then-add matches the
+            # unfused ``h + module_linear(...)`` bit-for-bit
+            out = res_ref[:] + out
+        out_ref[:] = out
+
+
+def _accum_tile(acc_ref, x, w32, s_all, zs_all, *, group_size: int, tk: int,
+                precise: bool, group_dot):
+    """Accumulate one (x-tile, packed-tile) product into ``acc_ref`` —
+    dequant halves (precise / group_dot / bdiag variants) plus the
+    zero-point correction. Factored from _kernel so the fused-FFN kernel
+    (ops/ffn_fused.py) shares the exact op sequence; ref-update order is
+    unchanged (two half += then the zp -=)."""
+    tn = w32.shape[1]
+    half = tk // 2
+    G = tk // group_size
     mask = jnp.uint32(_NIBBLE_MASK)
     lo8 = pltpu.bitcast(w32 & mask, jnp.int8)               # (tk/2, TN)
     hi8 = pltpu.bitcast((w32 >> jnp.uint32(4)) & mask, jnp.int8)
@@ -277,19 +304,6 @@ def _kernel(x_ref, packed_ref, scales_ref, zs_ref, *rest,
                        (row_g == col_g).astype(jnp.float32),
                        preferred_element_type=jnp.float32)
     acc_ref[:] -= jnp.dot(xsum, zs_all, preferred_element_type=jnp.float32)
-
-    @pl.when(k_idx == nk - 1)
-    def _emit():
-        acc = acc_ref[:]
-        if rope_style:
-            acc = rotate_lanes(acc, cos_ref[:], sin_ref[:], rope_style,
-                               rope_hd)
-        out = acc.astype(out_ref.dtype)
-        if has_res:
-            # fused residual-add epilogue; cast-then-add matches the
-            # unfused ``h + module_linear(...)`` bit-for-bit
-            out = res_ref[:] + out
-        out_ref[:] = out
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "tk", "precise",
