@@ -115,12 +115,18 @@ def _kernel(meta_ref, kn_ref, vn_ref, kp_any, vp_any, okp, ovp,
 
 
 def _kernel_scales(meta_ref, ks_ref, vs_ref, ksp_any, vsp_any, oks, ovs,
-                   kbuf, vbuf, ksem, vsem, *, L, S, srows):
+                   kbuf, vbuf, ksem, vsem, *, L, S, srows, B, NKV):
     """Scale-page RMW sibling: pools (L, n_kv, P, srows, 128) f32; scale of
     token t at (t // 128, t % 128). meta (b, s, 3): page, srow, lane.
-    ks/vs (L, b, s, n_kv) f32 ride in SMEM (scalar prefetch)."""
+    ks/vs ride in SMEM (scalar prefetch) FLATTENED to 1-D — SMEM pads
+    multi-dim scalar arrays so hard that the (L, b, s, n_kv) form blew the
+    1 MB SMEM budget at the spec-decode write width (s=5: 704 KB for
+    14 KB of payload; found when int8 pools became the serving default)."""
     bi = pl.program_id(0)
     h = pl.program_id(1)
+
+    def flat(l, j):
+        return ((l * B + bi) * S + j) * NKV + h
     steps = [(l, j) for l in range(L) for j in range(S)]
     pend = [None, None]
     for idx, (l, j) in enumerate(steps):
@@ -145,8 +151,8 @@ def _kernel_scales(meta_ref, ks_ref, vs_ref, ksp_any, vsp_any, oks, ovs,
         rows = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 0)
         lanes = jax.lax.broadcasted_iota(jnp.int32, (srows, 128), 1)
         sel = (rows == srow) & (lanes == lane)
-        kbuf[slot] = jnp.where(sel, ks_ref[l, bi, j, h], kbuf[slot])
-        vbuf[slot] = jnp.where(sel, vs_ref[l, bi, j, h], vbuf[slot])
+        kbuf[slot] = jnp.where(sel, ks_ref[flat(l, j)], kbuf[slot])
+        vbuf[slot] = jnp.where(sel, vs_ref[flat(l, j)], vbuf[slot])
         ck = pltpu.make_async_copy(kbuf.at[slot], oks.at[l, h, page],
                                    ksem.at[slot])
         cv = pltpu.make_async_copy(vbuf.at[slot], ovs.at[l, h, page],
@@ -218,8 +224,10 @@ def _write_scales(ks_pages, vs_pages, ksc, vsc, smeta, interpret=False):
     srows = ks_pages.shape[3]
     b, s = smeta.shape[:2]
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    n_kv_s = ksc.shape[3]
     return pl.pallas_call(
-        functools.partial(_kernel_scales, L=L, S=s, srows=srows),
+        functools.partial(_kernel_scales, L=L, S=s, srows=srows,
+                          B=b, NKV=n_kv_s),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, n_kv),
@@ -237,8 +245,8 @@ def _write_scales(ks_pages, vs_pages, ksc, vsc, smeta, interpret=False):
         # flat inputs: smeta(0) ks(1) vs(2) ksp(3) vsp(4)
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
-    )(smeta, ksc.astype(jnp.float32), vsc.astype(jnp.float32),
-      ks_pages, vs_pages)
+    )(smeta, ksc.astype(jnp.float32).reshape(-1),
+      vsc.astype(jnp.float32).reshape(-1), ks_pages, vs_pages)
 
 
 def paged_write_tokens(k_pages, v_pages, k_new, v_new, page_indices,
