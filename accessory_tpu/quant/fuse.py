@@ -98,20 +98,26 @@ def fuse_for_decode(params: Dict[str, Any]) -> Dict[str, Any]:
     # 512-lane tiles, where halving loses)
     if os.environ.get("ACCESSORY_RETILE", "1") == "1":
         out = retile_for_decode(out)
-    # Default "auto" (r5): apply where the attention norm can NOT fold into
-    # the quant kernel (in_dim > tile_k — the 7B-class regime, where the
-    # per-step f32 norm converts + scale pads are pure launch bloat:
-    # chip A/B int8-7B 714 -> 753 tok/s, busy 11.13 -> 10.51 ms). Keep OFF
-    # where norms fold (TinyLlama-class: r4 A/B -2.7% — the tiny ops'
-    # S(1) outputs double as MSA prefetches for the fused-norm kernels'
-    # operands). "1"/"0" force.
+    # Default "auto" (r5): apply ONLY in the 7B-class regime — attention
+    # norm can NOT fold (in_dim > tile_k) AND in_dim <= 4096. Chip A/Bs:
+    #   dim 2048 (TinyLlama, norms fold):   prep -2.7% (r4) — the tiny
+    #     ops' S(1) outputs double as MSA prefetches for the fused-norm
+    #     kernels' operands
+    #   dim 4096 (7B): prep +5.5% (int8 714 -> 753 tok/s, busy
+    #     11.13 -> 10.51 ms) — no norm folds, the per-step converts/pads
+    #     are pure launch bloat
+    #   dim 8192 (70B): prep -25% (146.5 -> 110 tok/s, 3 runs each) —
+    #     the 4x-bigger scale arrays lean on the S(1) staging the tiny
+    #     ops provide
+    # "1"/"0" force.
     prep_env = os.environ.get("ACCESSORY_KERNEL_PREP", "auto")
     if prep_env == "1":
         out = kernel_prep(out)
     elif prep_env == "auto":
         wqkv = out["layers"].get("attention", {}).get("wqkv", {})
         w = wqkv.get("weight") if isinstance(wqkv, dict) else None
-        if isinstance(w, QuantizedWeight) and w.in_dim != w.tile_k:
+        if (isinstance(w, QuantizedWeight) and w.in_dim != w.tile_k
+                and w.in_dim <= 4096):
             out = kernel_prep(out)
     return out
 
