@@ -852,14 +852,14 @@ def _kernel_hgrp_w(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref, vc_ref,
     q = q_ref[0, :, 0, :]                               # (G, HD)
     kc = kc_ref[0]                                      # (G, HD, S)
     vc = vc_ref[0]
-    p_old = _hgrp_common(q, kc.reshape(G * hd, S), None, length, scale,
+    s_old = _hgrp_common(q, kc.reshape(G * hd, S), None, length, scale,
                          prec)                          # masked scores
     kn = kn_ref[0, :, 0, :].astype(jnp.float32)         # (G, HD)
     vn = vn_ref[0, :, 0, :].astype(jnp.float32)
     qf = q.astype(jnp.float32)
     s_new = jnp.sum(qf * kn, axis=1, keepdims=True) * scale      # (G, 1)
-    m = jnp.maximum(jnp.max(p_old, axis=1, keepdims=True), s_new)
-    p = jnp.exp(p_old - m)                              # (G, S) grouped VPU
+    m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+    p = jnp.exp(s_old - m)                              # (G, S) grouped VPU
     p_new = jnp.exp(s_new - m)
     denom = jnp.sum(p, axis=1, keepdims=True) + p_new
 
@@ -948,13 +948,13 @@ def _kernel_hgrp_w8(lens_ref, pos_ref, q_ref, kn_ref, vn_ref, kc_ref,
     vc = vc_ref[0].astype(jnp.bfloat16)
     ks = ks_ref[0]                                      # (G, S) f32
     vs = vs_ref[0]
-    p_old = _hgrp_common(q, kc.reshape(G * hd, S), ks, length, scale, None)
+    s_old = _hgrp_common(q, kc.reshape(G * hd, S), ks, length, scale, None)
     kn = kn_ref[0, :, 0, :].astype(jnp.float32)
     vn = vn_ref[0, :, 0, :].astype(jnp.float32)
     qf = q.astype(jnp.float32)
     s_new = jnp.sum(qf * kn, axis=1, keepdims=True) * scale
-    m = jnp.maximum(jnp.max(p_old, axis=1, keepdims=True), s_new)
-    p = jnp.exp(p_old - m)
+    m = jnp.maximum(jnp.max(s_old, axis=1, keepdims=True), s_new)
+    p = jnp.exp(s_old - m)
     p_new = jnp.exp(s_new - m)
     denom = jnp.sum(p, axis=1, keepdims=True) + p_new
 
