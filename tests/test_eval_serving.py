@@ -195,3 +195,33 @@ def test_http_server_continuous_batching(model):
         assert results[0] == want[0] and results[1] == want[1], results
     finally:
         server.shutdown()
+
+
+def test_device_busy_from_trace_digest(tmp_path):
+    """util.profiling.device_busy_from_trace parses the XLA Ops lane
+    (backs the serving device-bound aggregate, bench_all sched-nsteps)."""
+    import gzip
+    import json
+
+    from accessory_tpu.util.profiling import device_busy_from_trace
+
+    tr = {"traceEvents": [
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 1, "tid": 1, "name": "thread_name",
+         "args": {"name": "python"}},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.1",
+         "ts": 100.0, "dur": 50.0},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.2",
+         "ts": 200.0, "dur": 25.0},
+        {"ph": "X", "pid": 1, "tid": 1, "name": "host_thing",
+         "ts": 0.0, "dur": 1e6},
+    ]}
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump(tr, f)
+    out = device_busy_from_trace(str(tmp_path))
+    assert out["n_kernels"] == 2
+    assert abs(out["busy_s"] - 75e-6) < 1e-12
+    assert abs(out["span_s"] - 125e-6) < 1e-12

@@ -46,8 +46,11 @@ def test_paged_write_matches_xla(s):
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
 
 
-def test_paged_write_int8_matches_xla():
-    kp, vp, kn, vn, pt, start, extra = _setup(int8=True, seed=7)
+@pytest.mark.parametrize("s", [1, 5])
+def test_paged_write_int8_matches_xla(s):
+    # s=5 is the spec-decode verify width that blew the SMEM budget with
+    # 4-D scalar-prefetch scale operands (fixed: flat 1-D prefetch)
+    kp, vp, kn, vn, pt, start, extra = _setup(int8=True, seed=7, s=s)
     want = write_tokens_all_layers(kp, vp, kn, vn, pt, start, **extra)
     got = paged_write_tokens(kp, vp, kn, vn, pt, start,
                              extra["ks_pages"], extra["vs_pages"],
