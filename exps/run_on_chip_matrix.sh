@@ -83,5 +83,10 @@ run bench_dit 2400 python -u bench_all.py --only dit
 # real weights = exps/verify_real_weights.sh, same code path)
 run bench_ppl_delta 3600 python -u exps/bench_ppl_quant_delta.py
 
+# 15. LLaMA2-7B per-kernel step budget (int8 default arm): regression
+# tripwire for the r5 levers — planes ~50/84/15 µs-class clusters,
+# grouped attention ~114 µs/layer, head 349, busy ~10.5 ms (757+ tok/s)
+run trace_7b_budget 2400 python -u exps/trace_7b_budget.py int8 10
+
 echo "MATRIX DONE $(date)" >> $OUT/summary.log
 touch /tmp/chip_matrix_done.flag
