@@ -74,8 +74,8 @@ class Generator:
         # init_kv_cache, which resolves via util.resolve_kv_dtype:
         # int8 auto-on on TPU (chip-measured best at every context,
         # BENCHMARKS.md r4), fp on CPU; env ACCESSORY_KV_DTYPE overrides.
-        if kv_dtype is not None and not getattr(module, "SUPPORTS_KV_INT8",
-                                                False):
+        if kv_dtype in ("int8", "i8") and not getattr(
+                module, "SUPPORTS_KV_INT8", False):
             raise ValueError(f"{module.__name__} has no int8-KV support")
         self.kv_dtype = kv_dtype
         # Trace-time-unrolled decode loop over unstacked per-layer buffers:

@@ -122,8 +122,6 @@ def param_axes(args: InternLMArgs) -> Params:
 def init_kv_cache(args: InternLMArgs, batch: int, max_len: Optional[int] = None,
                   dtype=None, stacked: bool = True,
                   kv_dtype: Optional[str] = None) -> Dict[str, jnp.ndarray]:
-    import os
-
     from accessory_tpu.util import resolve_kv_dtype
 
     max_len = max_len or args.max_seq_len

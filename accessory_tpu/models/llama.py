@@ -212,13 +212,13 @@ def init_kv_cache(args: LLaMAArgs, batch: int, max_len: Optional[int] = None,
     hd) tensors (llama.py:210-215, 429-435) — here allocation is explicit and
     the buffers are donated through decode steps so XLA updates in place.
 
-    ``kv_dtype="int8"`` (or env ACCESSORY_KV_DTYPE=int8) stores per-token-
+    ``kv_dtype="int8"`` stores per-token-
     per-head symmetric int8 k/v plus f32 scale pools ``ks``/``vs`` —
     half the KV HBM traffic and 2x the context per GB
-    (ops/decode_attention.py int8 kernels).
+    (ops/decode_attention.py int8 kernels); ``None`` resolves via
+    util.resolve_kv_dtype (int8 auto-on on TPU, env ACCESSORY_KV_DTYPE
+    overrides).
     """
-    import os
-
     from accessory_tpu.util import resolve_kv_dtype
 
     max_len = max_len or args.max_seq_len
@@ -380,6 +380,7 @@ def _block(h, layer, args: LLaMAArgs, cos, sin, q_offset, kv_len,
         w2_w = ff["w2"].get("weight") if isinstance(ff["w2"], dict) else None
         m_rows = b * sq
         if (fuse_ok and sq == 1 and "lora_a" not in ff["w2"]
+                and ff["w2"].get("bias") is None
                 and ffn_fusible(w13_w, w2_w, m_rows)
                 and jax.default_backend() == "tpu"):
             # whole FFN (w13 → SwiGLU → w2 + residual) in ONE kernel:
@@ -574,9 +575,8 @@ def init_paged_cache(args: LLaMAArgs, slots: int, total_pages: int,
                      page_size: int = 64, pages_per_seq: Optional[int] = None,
                      dtype=None, kv_dtype: Optional[str] = None):
     from accessory_tpu.engine.kvcache import init_paged_cache as _init
-    from accessory_tpu.util import resolve_kv_dtype
 
-    kv_dtype = resolve_kv_dtype(kv_dtype)
+    # kv_dtype=None resolves inside engine.kvcache.init_paged_cache
     pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
     return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
                  page_size, slots, pages_per_seq,

@@ -388,9 +388,8 @@ def init_paged_cache(args: MixtralArgs, slots: int, total_pages: int,
                      page_size: int = 64, pages_per_seq: Optional[int] = None,
                      dtype=None, kv_dtype: Optional[str] = None):
     from accessory_tpu.engine.kvcache import init_paged_cache as _init
-    from accessory_tpu.util import resolve_kv_dtype
 
-    kv_dtype = resolve_kv_dtype(kv_dtype)
+    # kv_dtype=None resolves inside engine.kvcache.init_paged_cache
     pages_per_seq = pages_per_seq or (args.max_seq_len // page_size)
     return _init(args.n_layers, args.kv_heads, args.head_dim, total_pages,
                  page_size, slots, pages_per_seq,

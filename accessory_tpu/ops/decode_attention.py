@@ -263,7 +263,8 @@ def decode_attention_update(q, k_new, v_new, cache_k, cache_v, pos,
         # head-GROUPED kernel: softmax on (G, S) blocks instead of (1, S)
         # rows — the per-(b,head) instruction floor (~0.5 µs) dominates the
         # memory floor there (r5 7B trace budget; see kernel docstring)
-        g_blk = _pick_g_blk(nkv, nq // nkv)
+        g_blk = _pick_g_blk(nkv, nq // nkv, hd, S,
+                            cache_k.dtype.itemsize)
         if g_blk:
             out, wk, wv = _decode_attn_hgrp_w(
                 qg, kn, vn, cache_k, cache_v, pos_arr, pos, g_blk=g_blk,
@@ -1042,14 +1043,23 @@ def _decode_attn_hgrp_w8(q, k_new, v_new, cache_k, cache_v, cache_ks,
     return out, wk, wv, wks, wvs
 
 
-def _pick_g_blk(nkv: int, r: int) -> int:
+def _pick_g_blk(nkv: int, r: int, hd: int = 128, S: int = 1024,
+                itemsize: int = 2) -> int:
     """Head-group size for the grouped kernels: 8 sublanes is the VPU's
-    native block height. 0 = grouped path not applicable (GQA with R>1
-    keeps the per-head kernels — that regime is DMA-bound, r3 A/B)."""
+    native block height, shrunk until the double-buffered K+V blocks fit
+    the VMEM budget (the per-head path's _pick_b_blk discipline — without
+    this a 4k-ctx MHA block pair alone exceeds 16 MB). 0 = grouped path
+    not applicable (GQA with R>1 keeps the per-head kernels — that regime
+    is DMA-bound, r3 A/B)."""
     if r != 1 or os.environ.get("ACCESSORY_ATTN_HGRP", "1") != "1":
         return 0
+    # 10 MB covers double-buffered K+V blocks; the chip-validated default
+    # (bf16, g=8, S=1024) sits at 8.4 MB. int8 callers pass itemsize+1
+    # for the in-kernel bf16 upcast temps (same convention as _pick_b_blk)
+    budget = 10 * 1024 * 1024
     for g in (8, 4, 2):
-        if nkv % g == 0 and nkv >= g:
+        if nkv % g == 0 and nkv >= g and \
+                2 * 2 * g * hd * S * itemsize <= budget:
             return g
     return 0
 
@@ -1174,7 +1184,8 @@ def decode_attention_update8(q, k_new, v_new, cache_k, cache_v, cache_ks,
         kn = k_new.reshape(b, nkv, 1, hd)
         vn = v_new.reshape(b, nkv, 1, hd)
         pos_arr = jnp.broadcast_to(jnp.asarray(pos)[None], (b,))
-        g_blk = _pick_g_blk(nkv, nq // nkv)
+        g_blk = _pick_g_blk(nkv, nq // nkv, hd, S,
+                            cache_k.dtype.itemsize + 1)
         if g_blk:
             out, wk, wv, wks, wvs = _decode_attn_hgrp_w8(
                 qg, kn, vn, cache_k, cache_v, cache_ks, cache_vs, pos_arr,

@@ -148,11 +148,13 @@ def ffn_qmm(x2d, p13, s13, z13, p2, s2, z2, residual=None, *,
         x2d = jnp.pad(x2d, ((0, pad_m), (0, 0)))
         if residual is not None:
             residual = jnp.pad(residual, ((0, pad_m), (0, 0)))
-    pad_g1 = (-s13.shape[0]) % 8
+    # sublane tile is 8 rows for f32 scale storage, 16 for 16-bit
+    # (ACCESSORY_SCALES_DTYPE) — same rule as planes_qmm
+    pad_g1 = (-s13.shape[0]) % (8 if s13.dtype.itemsize == 4 else 16)
     if pad_g1:
         s13 = jnp.pad(s13, ((0, pad_g1), (0, 0)))
         z13 = jnp.pad(z13, ((0, pad_g1), (0, 0)))
-    pad_g2 = (-s2.shape[0]) % 8
+    pad_g2 = (-s2.shape[0]) % (8 if s2.dtype.itemsize == 4 else 16)
     if pad_g2:
         s2 = jnp.pad(s2, ((0, pad_g2), (0, 0)))
         z2 = jnp.pad(z2, ((0, pad_g2), (0, 0)))
@@ -238,6 +240,9 @@ def ffn_fusible(w13, w2, m_rows: int) -> bool:
     if w13.group_size != w2.group_size:
         return False
     ffn = w13.out_dim // 2
-    tn1 = _pick_tn(ffn)
-    return ffn % tn1 == 0 and w13.in_dim % w13.tile_k == 0 \
-        and ffn % w2.tile_k == 0
+    tn1, tn2 = _pick_tn(ffn), _pick_tn(w2.out_dim)
+    # n2 must tile exactly: unlike planes_qmm there is no N-padding here,
+    # and a partial trailing block would get zero grid programs (NaN out)
+    return (ffn % tn1 == 0 and w2.out_dim % tn2 == 0
+            and w2.out_dim % 128 == 0
+            and w13.in_dim % w13.tile_k == 0 and ffn % w2.tile_k == 0)

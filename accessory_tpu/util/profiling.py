@@ -44,13 +44,14 @@ def device_busy_from_trace(logdir: str) -> Dict[str, float]:
     import json as _json
     import os
 
-    prof = None
+    cands = []
     for root, _, files in os.walk(logdir):
         for f in files:
             if f.endswith("trace.json.gz"):
-                prof = os.path.join(root, f)
-    if prof is None:
+                cands.append(os.path.join(root, f))
+    if not cands:
         raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    prof = max(cands, key=os.path.getmtime)  # newest: stale traces linger
     with gzip.open(prof) as f:
         tr = _json.load(f)
     lanes = {}

@@ -71,7 +71,7 @@ def digest(logdir, n_steps):
         base = e["name"].split(".")[0]
         agg.setdefault(base, []).append(e["dur"])
     # same-named kernels with distinct shapes (the four planes matmuls)
-    # cluster by duration: split a name when durations gap by >1.6x
+    # cluster by duration: split a name when durations gap by >1.25x
     rows = []
     for name, durs in agg.items():
         durs.sort()
